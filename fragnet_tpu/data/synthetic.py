@@ -1,0 +1,130 @@
+"""Synthetic molecule generator + deterministic property functions.
+
+The reference pulls MoleculeNet/UniMol data over the network at run time
+(fragnet/dataset/moleculenet.py); in a zero-egress environment we provide a
+grammar-based generator of valid drug-like SMILES and structure-derived
+property functions so every pipeline (finetune regression/classification,
+pretraining, DTA, CDRP, HP search, benchmarks) runs self-contained.
+Real CSVs drop into the same loaders when available (data/moleculenet.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from fragnet_tpu.chem.smiles import MolFromSmiles
+
+_RINGS = [
+    "c1ccccc1", "c1ccncc1", "c1ccoc1", "c1ccsc1", "C1CCCCC1", "C1CCNCC1",
+    "C1CCOCC1", "c1cn[nH]c1", "c1cnc[nH]1", "C1CCCC1", "c1ccc2ccccc2c1",
+]
+_LINKERS = ["", "C", "CC", "CCC", "O", "N", "C(=O)", "C(=O)N", "C(=O)O",
+            "S", "OC", "NC", "C=C"]
+_SUBS = ["F", "Cl", "Br", "C", "CC", "O", "N", "OC", "C(F)(F)F", "C#N",
+         "N(C)C", "C(C)C", "CO", ""]
+_CHAINS = ["CC", "CCC", "CCCC", "CCO", "CCN", "CC(C)C", "CCOC", "CC(=O)O",
+           "CCS", "OCCO", "NCCN", "CC(=O)N"]
+
+
+def random_smiles(rng: np.random.Generator) -> str:
+    """Assemble ring–linker–ring / ring–sub / chain patterns; always valid."""
+    kind = rng.random()
+    if kind < 0.25:
+        s = str(rng.choice(_CHAINS))
+        if rng.random() < 0.5:
+            s = s + str(rng.choice(_SUBS))
+    elif kind < 0.6:
+        ring = str(rng.choice(_RINGS))
+        sub = str(rng.choice(_SUBS))
+        s = sub + ring if sub else ring
+        if rng.random() < 0.4:
+            s = s + str(rng.choice(_LINKERS)) + str(rng.choice(_CHAINS))
+    else:
+        r1, r2 = rng.choice(_RINGS, 2)
+        link = str(rng.choice(_LINKERS))
+        s = str(r1) + link + str(r2)
+        if rng.random() < 0.3:
+            s = str(rng.choice(_SUBS)) + s
+    return s
+
+
+_ATOM_LOGP = {"C": 0.14, "N": -0.58, "O": -0.64, "F": 0.22, "Cl": 0.65,
+              "Br": 0.85, "S": 0.25, "P": -0.5, "I": 1.0}
+
+
+def pseudo_logp(smiles: str) -> float:
+    """Crippen-like additive logP surrogate: per-atom contributions with
+    aromaticity/ring bonuses. Deterministic and learnable from structure."""
+    mol = MolFromSmiles(smiles)
+    if mol is None:
+        return 0.0
+    v = 0.0
+    for a in mol.atoms:
+        v += _ATOM_LOGP.get(a.symbol, 0.0)
+        if a.is_aromatic:
+            v += 0.16
+        if a.GetTotalNumHs() > 0 and a.symbol in ("N", "O"):
+            v -= 0.35
+    v += 0.12 * len(mol.rings)
+    return v
+
+
+def pseudo_solubility(smiles: str) -> float:
+    """ESOL-like: logS ≈ 0.55 − 0.87·logP − 0.007·MW + ring/polar terms."""
+    mol = MolFromSmiles(smiles)
+    if mol is None:
+        return 0.0
+    from fragnet_tpu.chem.mol import PERIODIC_TABLE
+
+    _MASS = {"H": 1.008, "C": 12.011, "N": 14.007, "O": 15.999, "F": 18.998,
+             "Cl": 35.45, "Br": 79.904, "S": 32.06, "P": 30.974, "I": 126.9}
+    mw = sum(_MASS.get(a.symbol, 30.0) + 1.008 * a.GetTotalNumHs()
+             for a in mol.atoms)
+    aromatic_frac = (
+        sum(a.is_aromatic for a in mol.atoms) / max(1, mol.GetNumAtoms())
+    )
+    return 0.55 - 0.87 * pseudo_logp(smiles) - 0.0066 * mw - 0.42 * aromatic_frac
+
+
+def synthetic_dataset(
+    n: int = 512,
+    task: str = "regression",
+    seed: int = 0,
+    n_tasks: int = 1,
+) -> pd.DataFrame:
+    """DataFrame with columns smiles, y (or y0..y{k}) — dedup'd, valid."""
+    rng = np.random.default_rng(seed)
+    seen, rows = set(), []
+    attempts = 0
+    while len(rows) < n and attempts < n * 50:
+        attempts += 1
+        s = random_smiles(rng)
+        if s in seen or MolFromSmiles(s) is None:
+            continue
+        seen.add(s)
+        rows.append(s)
+    smiles = rows
+
+    if task == "regression":
+        df = pd.DataFrame({"smiles": smiles})
+        df["y"] = [pseudo_solubility(s) for s in smiles]
+        return df
+    if task == "classification":
+        vals = np.array([pseudo_logp(s) for s in smiles])
+        med = np.median(vals)
+        df = pd.DataFrame({"smiles": smiles})
+        if n_tasks == 1:
+            df["y"] = (vals > med).astype(float)
+        else:
+            for t in range(n_tasks):
+                thr = np.quantile(vals, 0.3 + 0.4 * t / max(1, n_tasks - 1))
+                col = (vals > thr).astype(float)
+                # simulate missing labels (the MoleculeNet −1 convention)
+                miss = np.random.default_rng(seed + t).random(len(col)) < 0.1
+                col[miss] = -1.0
+                df[f"y{t}"] = col
+        return df
+    raise ValueError(f"unknown task {task!r}")

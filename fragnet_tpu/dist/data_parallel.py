@@ -1,0 +1,106 @@
+"""Data-parallel training over a jax.sharding.Mesh.
+
+Each device holds one padded micro-batch (identical PadSpec ⇒ identical
+shapes); batches are stacked on a leading 'data' axis and shard_map splits
+them across the mesh. Parameters/optimizer state are replicated; gradients
+are psum-averaged over ICI — the collective the reference delegates to NCCL
+DDP (fragnet/train/finetune/finetune_gat2_pl.py:230-260, utils_pl.py:88).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fragnet_tpu.graphs.hiergraph import PadSpec, pad_batch
+from fragnet_tpu.train.loop import LOSSES, TrainState
+
+
+def make_mesh(n_devices: int = 0, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=(axis,))
+
+
+def stack_for_dp(graphs: Sequence, n_devices: int, spec: PadSpec,
+                 n_tasks: int = 1, with_targets: bool = False):
+    """Split graphs round-robin into n_devices micro-batches, pad each to the
+    same spec, and stack along a leading device axis."""
+    shards: List[List] = [[] for _ in range(n_devices)]
+    for i, g in enumerate(graphs):
+        shards[i % n_devices].append(g)
+    batches = [
+        pad_batch(s, spec, n_tasks=n_tasks, with_targets=with_targets)
+        for s in shards
+    ]
+    return jax.tree.map(
+        lambda *xs: np.stack(xs) if xs[0] is not None else None, *batches
+    )
+
+
+def make_dp_train_step(model, tx: optax.GradientTransformation, mesh: Mesh,
+                       loss_name: str = "mse", axis: str = "data") -> Callable:
+    """Compiled DP step: per-device forward/backward on the local micro-batch,
+    gradient pmean over the mesh, replicated update."""
+    loss_fn = LOSSES[loss_name]
+
+    def per_device(state: TrainState, batch, rng):
+        # batch arrives with the leading device axis of size 1 — drop it
+        local = jax.tree.map(
+            lambda x: x[0] if x is not None else None, batch
+        )
+        my_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def loss(params):
+            out = model.apply(params, local, deterministic=False,
+                              rngs={"dropout": my_rng})
+            return loss_fn(out, local.y, local.graph_mask)
+
+        l, grads = jax.value_and_grad(loss)(state.params)
+        grads = jax.lax.pmean(grads, axis)
+        l = jax.lax.pmean(l, axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), l
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: TrainState, stacked_batch, rng):
+        return sharded(state, stacked_batch, rng)
+
+    return step
+
+
+def make_dp_eval_step(model, mesh: Mesh, loss_name: str = "mse",
+                      axis: str = "data") -> Callable:
+    loss_fn = LOSSES[loss_name]
+
+    def per_device(params, batch):
+        local = jax.tree.map(lambda x: x[0] if x is not None else None, batch)
+        out = model.apply(params, local, deterministic=True)
+        l = jax.lax.pmean(loss_fn(out, local.y, local.graph_mask), axis)
+        return l, out[None]
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,282 @@
+"""Padded, static-shape batch container — the XLA-friendly replacement for
+PyG ``Data`` + ``collate_fn`` (reference fragnet/dataset/data.py:877-948).
+
+Molecules are concatenated with cumulative index offsets exactly like the
+reference collate, then padded to a ``PadSpec``. Padding convention:
+  * pad edges carry index 0 and mask 0 — the model masks their softmax
+    logits and zeroes their probabilities, so the pointed-at segment is
+    never polluted;
+  * pad atoms/frags carry zero features and segment id 0 — the model zeroes
+    masked node states before any pooling, so segment 0 receives only zeros;
+  * y rows for pad graphs are zero and ``graph_mask`` excludes them from
+    losses/metrics.
+
+All fields are numpy here; the training step moves them to device. The
+container is a flax pytree so it can flow through jit/shard_map directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class HierGraphBatch:
+    # atom graph
+    x_atoms: np.ndarray          # (A, 167) f32
+    edge_src: np.ndarray         # (E,) i32
+    edge_dst: np.ndarray         # (E,) i32
+    edge_attr: np.ndarray        # (E, 17) f32
+    atom_mask: np.ndarray        # (A,) f32
+    edge_mask: np.ndarray        # (E,) f32
+    # bond line graph (nodes == directed atom-graph edges)
+    nf_bonds: np.ndarray         # (E, 17) f32
+    bg_src: np.ndarray           # (EB,) i32
+    bg_dst: np.ndarray           # (EB,) i32
+    ea_bonds: np.ndarray         # (EB, 1) f32
+    bg_mask: np.ndarray          # (EB,) f32
+    # fragment graph
+    x_frags: np.ndarray          # (F, 167) f32
+    frag_src: np.ndarray         # (C,) i32
+    frag_dst: np.ndarray         # (C,) i32
+    cnx_attr: np.ndarray         # (C, 6) f32
+    frag_mask: np.ndarray        # (F,) f32
+    fconn_mask: np.ndarray       # (C,) f32
+    # fragment-connection line graph (nodes == directed connections)
+    nf_fbonds: np.ndarray        # (C, 6) f32
+    fc_src: np.ndarray           # (EC,) i32
+    fc_dst: np.ndarray           # (EC,) i32
+    ea_fbonds: np.ndarray        # (EC, 6) f32
+    fc_mask: np.ndarray          # (EC,) f32
+    # hierarchy couplings + pooling segments
+    atom_to_frag: np.ndarray     # (A,) i32
+    atom_batch: np.ndarray       # (A,) i32
+    frag_batch: np.ndarray       # (F,) i32
+    # labels
+    y: np.ndarray                # (G, n_tasks) f32
+    graph_mask: np.ndarray       # (G,) f32
+    # optional pretrain targets
+    bnd_lngth: Optional[np.ndarray] = None   # (E, 1)
+    bnd_angl: Optional[np.ndarray] = None    # (A, 1)
+    dh_angl: Optional[np.ndarray] = None     # (E, 1)
+    # optional task extras
+    protein: Optional[np.ndarray] = None     # (G, seq_len) i32
+    gene_expr: Optional[np.ndarray] = None   # (G, n_genes) f32
+
+    @property
+    def n_graphs(self) -> int:
+        return self.y.shape[0]
+
+    @property
+    def n_atom_slots(self) -> int:
+        return self.x_atoms.shape[0]
+
+    @property
+    def n_edge_slots(self) -> int:
+        return self.edge_src.shape[0]
+
+    @property
+    def n_frag_slots(self) -> int:
+        return self.x_frags.shape[0]
+
+    @property
+    def n_fconn_slots(self) -> int:
+        return self.nf_fbonds.shape[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class PadSpec:
+    """Static capacities per batch. ``n_graphs`` counts molecule slots; the
+    others count nodes/edges across the whole packed batch."""
+
+    n_graphs: int
+    n_atoms: int
+    n_edges: int
+    n_frags: int
+    n_fconn: int
+    n_bg_edges: int
+    n_fc_edges: int
+
+    def round_to(self, multiple: int = 8) -> "PadSpec":
+        r = lambda x: ((x + multiple - 1) // multiple) * multiple
+        return PadSpec(
+            self.n_graphs,
+            r(self.n_atoms),
+            r(self.n_edges),
+            r(self.n_frags),
+            r(self.n_fconn),
+            r(self.n_bg_edges),
+            r(self.n_fc_edges),
+        )
+
+
+def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
+             multiple: int = 8) -> PadSpec:
+    """Compute a PadSpec covering any window of ``batch_size`` graphs from the
+    dataset: batch_size × the max per-molecule counts is always safe but
+    wasteful; we use max over a sliding sum bound = batch_size * p95 + max,
+    clamped below by the true max molecule."""
+    if not graphs:
+        raise ValueError("empty dataset")
+    stats = {
+        k: np.array([getattr(g, k) for g in graphs])
+        for k in ("n_atoms", "n_edges", "n_frags", "n_fconn", "n_bg_edges", "n_fc_edges")
+    }
+
+    def cap(arr: np.ndarray) -> int:
+        est = int(batch_size * np.percentile(arr, 95) * slack + arr.max())
+        return max(est, int(arr.max() * min(batch_size, len(arr))) if batch_size <= 2 else est)
+
+    return PadSpec(
+        n_graphs=batch_size,
+        n_atoms=cap(stats["n_atoms"]),
+        n_edges=cap(stats["n_edges"]),
+        n_frags=cap(stats["n_frags"]),
+        n_fconn=cap(stats["n_fconn"]),
+        n_bg_edges=cap(stats["n_bg_edges"]),
+        n_fc_edges=cap(stats["n_fc_edges"]),
+    ).round_to(multiple)
+
+
+def fits(graphs: Sequence, spec: PadSpec) -> bool:
+    return (
+        len(graphs) <= spec.n_graphs
+        and sum(g.n_atoms for g in graphs) <= spec.n_atoms
+        and sum(g.n_edges for g in graphs) <= spec.n_edges
+        and sum(g.n_frags for g in graphs) <= spec.n_frags
+        and sum(g.n_fconn for g in graphs) <= spec.n_fconn
+        and sum(g.n_bg_edges for g in graphs) <= spec.n_bg_edges
+        and sum(g.n_fc_edges for g in graphs) <= spec.n_fc_edges
+    )
+
+
+def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
+              with_targets: bool = False) -> HierGraphBatch:
+    """Concatenate molecules with index offsets (collate semantics,
+    data.py:877-948) and pad every dimension to the spec."""
+    if not fits(graphs, spec):
+        raise ValueError(
+            f"batch exceeds spec: atoms={sum(g.n_atoms for g in graphs)}"
+            f"/{spec.n_atoms} edges={sum(g.n_edges for g in graphs)}/{spec.n_edges}"
+        )
+
+    G, A, E = spec.n_graphs, spec.n_atoms, spec.n_edges
+    F, C = spec.n_frags, spec.n_fconn
+    EB, EC = spec.n_bg_edges, spec.n_fc_edges
+    fd_atom = graphs[0].x_atoms.shape[1]
+
+    x_atoms = np.zeros((A, fd_atom), np.float32)
+    edge_src = np.zeros((E,), np.int32)
+    edge_dst = np.zeros((E,), np.int32)
+    edge_attr = np.zeros((E, graphs[0].edge_attr.shape[1]), np.float32)
+    atom_mask = np.zeros((A,), np.float32)
+    edge_mask = np.zeros((E,), np.float32)
+    nf_bonds = np.zeros((E, graphs[0].nf_bonds.shape[1]), np.float32)
+    bg_src = np.zeros((EB,), np.int32)
+    bg_dst = np.zeros((EB,), np.int32)
+    ea_bonds = np.zeros((EB, 1), np.float32)
+    bg_mask = np.zeros((EB,), np.float32)
+    x_frags = np.zeros((F, fd_atom), np.float32)
+    frag_src = np.zeros((C,), np.int32)
+    frag_dst = np.zeros((C,), np.int32)
+    cnx_attr = np.zeros((C, 6), np.float32)
+    frag_mask = np.zeros((F,), np.float32)
+    fconn_mask = np.zeros((C,), np.float32)
+    nf_fbonds = np.zeros((C, 6), np.float32)
+    fc_src = np.zeros((EC,), np.int32)
+    fc_dst = np.zeros((EC,), np.int32)
+    ea_fbonds = np.zeros((EC, 6), np.float32)
+    fc_mask = np.zeros((EC,), np.float32)
+    atom_to_frag = np.zeros((A,), np.int32)
+    atom_batch = np.zeros((A,), np.int32)
+    frag_batch = np.zeros((F,), np.int32)
+    y = np.zeros((G, n_tasks), np.float32)
+    graph_mask = np.zeros((G,), np.float32)
+
+    bnd_lngth = np.zeros((E, 1), np.float32) if with_targets else None
+    bnd_angl = np.zeros((A, 1), np.float32) if with_targets else None
+    dh_angl = np.zeros((E, 1), np.float32) if with_targets else None
+    protein = None
+    gene_expr = None
+    if graphs and graphs[0].protein is not None:
+        protein = np.zeros((G, graphs[0].protein.shape[-1]), np.int32)
+    if graphs and graphs[0].gene_expr is not None:
+        gene_expr = np.zeros((G, graphs[0].gene_expr.shape[-1]), np.float32)
+
+    a0 = e0 = f0 = c0 = eb0 = ec0 = 0
+    for gi, g in enumerate(graphs):
+        na, ne, nf, nc = g.n_atoms, g.n_edges, g.n_frags, g.n_fconn
+        neb, nec = g.n_bg_edges, g.n_fc_edges
+
+        x_atoms[a0 : a0 + na] = g.x_atoms
+        edge_src[e0 : e0 + ne] = g.edge_index[0] + a0
+        edge_dst[e0 : e0 + ne] = g.edge_index[1] + a0
+        edge_attr[e0 : e0 + ne] = g.edge_attr
+        atom_mask[a0 : a0 + na] = 1.0
+        edge_mask[e0 : e0 + ne] = 1.0
+
+        nf_bonds[e0 : e0 + ne] = g.nf_bonds
+        # reference unpacks `target, source = edge_index_bonds_graph`
+        # (gat2.py:138): row 0 is the aggregation target → our *_dst.
+        bg_dst[eb0 : eb0 + neb] = g.ei_bonds[0] + e0
+        bg_src[eb0 : eb0 + neb] = g.ei_bonds[1] + e0
+        ea_bonds[eb0 : eb0 + neb] = g.ea_bonds
+        bg_mask[eb0 : eb0 + neb] = 1.0
+
+        x_frags[f0 : f0 + nf] = g.x_frags
+        # `source, target = frag_index` (gat2.py:283): row 0 is the source.
+        frag_src[c0 : c0 + nc] = g.frag_index[0] + f0
+        frag_dst[c0 : c0 + nc] = g.frag_index[1] + f0
+        cnx_attr[c0 : c0 + nc] = g.cnx_attr
+        frag_mask[f0 : f0 + nf] = 1.0
+        fconn_mask[c0 : c0 + nc] = 1.0
+
+        nf_fbonds[c0 : c0 + nc] = g.nf_fbonds
+        # `target, source = edge_index_fbond_graph` (gat2.py:239).
+        fc_dst[ec0 : ec0 + nec] = g.ei_fbonds[0] + c0
+        fc_src[ec0 : ec0 + nec] = g.ei_fbonds[1] + c0
+        ea_fbonds[ec0 : ec0 + nec] = g.ea_fbonds
+        fc_mask[ec0 : ec0 + nec] = 1.0
+
+        atom_to_frag[a0 : a0 + na] = g.atom_to_frag + f0
+        atom_batch[a0 : a0 + na] = gi
+        frag_batch[f0 : f0 + nf] = gi
+
+        yv = g.y.reshape(-1)
+        y[gi, : yv.shape[0]] = yv
+        graph_mask[gi] = 1.0
+
+        if with_targets:
+            if g.bnd_lngth is not None:
+                bnd_lngth[e0 : e0 + ne] = g.bnd_lngth
+                dh_angl[e0 : e0 + ne] = g.dh_angl
+                bnd_angl[a0 : a0 + na] = g.bnd_angl
+        if protein is not None:
+            protein[gi] = g.protein
+        if gene_expr is not None:
+            gene_expr[gi] = g.gene_expr
+
+        a0 += na
+        e0 += ne
+        f0 += nf
+        c0 += nc
+        eb0 += neb
+        ec0 += nec
+
+    return HierGraphBatch(
+        x_atoms=x_atoms, edge_src=edge_src, edge_dst=edge_dst,
+        edge_attr=edge_attr, atom_mask=atom_mask, edge_mask=edge_mask,
+        nf_bonds=nf_bonds, bg_src=bg_src, bg_dst=bg_dst, ea_bonds=ea_bonds,
+        bg_mask=bg_mask, x_frags=x_frags, frag_src=frag_src,
+        frag_dst=frag_dst, cnx_attr=cnx_attr, frag_mask=frag_mask,
+        fconn_mask=fconn_mask, nf_fbonds=nf_fbonds, fc_src=fc_src,
+        fc_dst=fc_dst, ea_fbonds=ea_fbonds, fc_mask=fc_mask,
+        atom_to_frag=atom_to_frag, atom_batch=atom_batch,
+        frag_batch=frag_batch, y=y, graph_mask=graph_mask,
+        bnd_lngth=bnd_lngth, bnd_angl=bnd_angl, dh_angl=dh_angl,
+        protein=protein, gene_expr=gene_expr,
+    )

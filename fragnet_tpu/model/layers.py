@@ -1,0 +1,196 @@
+"""FragNetLayer — the four-level attention layer as one pure function.
+
+Re-designs fragnet/model/gat/gat2.py:40-330 (FragNetLayerA.forward) for TPU:
+all five passes (bond-graph GAT → atom-graph GAT with self-loops → atom→frag
+pooling → fconn-graph GAT → frag-graph GAT) are masked segment ops over
+static-shape arrays; interpretability masks are traced index arguments
+(vmap-able) instead of module mutation; attention vectors are always computed
+and returned (XLA dead-code-eliminates them when unused).
+
+Parameter parity notes (for the torch-checkpoint importer):
+  * projection_b/a/fb, edge_attr_bond_embed, edge_attr_fbond_embed and the
+    attention vectors a_b/a/f/f_a_b map 1:1 to the reference names.
+  * The reference also constructs modules that never affect forward
+    (atom_embed, frag_embed, edge_embed, bond_edge_embed, frag_message_mlp,
+    atom_mlp, frag_mlp, bias, edge_attr_bond_embed2 — gat2.py:64-85); this
+    layer does not create them, and the importer skips their entries.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from fragnet_tpu.ops.segment import gat_attention_pass, segment_sum
+
+# torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+torch_linear_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+# xavier_uniform with gain 1.414 (reference gat2.py:111-115)
+xavier_gain = nn.initializers.variance_scaling(
+    2.0 * 1.414**2, "fan_avg", "uniform"
+)
+
+
+def _zero_rows(x: jnp.ndarray, idx: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Zero row(s) ``idx`` of x; idx < 0 (or None) is a no-op. Traced-friendly:
+    uses a one-hot mask so it vmaps over attribution indices."""
+    if idx is None:
+        return x
+    idx = jnp.asarray(idx)
+    if idx.ndim == 0:
+        idx = idx[None]
+    hit = jnp.zeros((x.shape[0],), dtype=x.dtype)
+    for k in range(idx.shape[0]):
+        hit = hit + jax.nn.one_hot(idx[k], x.shape[0], dtype=x.dtype)
+    return x * (1.0 - jnp.clip(hit, 0.0, 1.0))[:, None]
+
+
+@struct.dataclass
+class LayerHooks:
+    """Interpretability masks, all optional traced scalars (−1 = disabled).
+
+    * bond_mask:      zero bond-feature rows k, k+1      (gat2.py:171-177)
+    * frag_bond_mask: zero fconn rows 2k, 2k+1           (gat2.py:274-278)
+    * atom_mask:      zero one atom's hidden state       (gat2.py:227-232)
+    """
+
+    bond_mask: Optional[jnp.ndarray] = None
+    frag_bond_mask: Optional[jnp.ndarray] = None
+    atom_mask: Optional[jnp.ndarray] = None
+
+
+@struct.dataclass
+class LayerAttn:
+    atoms: jnp.ndarray   # (A, H) summed attention by source
+    frags: jnp.ndarray   # (F, H)
+    bonds: jnp.ndarray   # (E, H)
+    fbonds: jnp.ndarray  # (C, H)
+
+
+class FragNetLayer(nn.Module):
+    """One four-level message-passing layer."""
+
+    atom_in: int = 128
+    atom_out: int = 128
+    edge_in: int = 128
+    edge_out: int = 128
+    fedge_in: int = 128
+    bond_edge_in: int = 1
+    fbond_edge_in: int = 6
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        x_atoms: jnp.ndarray,      # (A, atom_in)
+        nf_bonds: jnp.ndarray,     # (E, edge_in) bond-graph node features
+        nf_fbonds: jnp.ndarray,    # (C, fedge_in) fconn-graph node features
+        batch,                     # HierGraphBatch (indices + masks + attrs)
+        hooks: Optional[LayerHooks] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, LayerAttn]:
+        hooks = hooks or LayerHooks()
+        H = self.num_heads
+        edge_out_ph = self.edge_out // H
+        atom_out_ph = self.atom_out // H
+        A = x_atoms.shape[0]
+        E = nf_bonds.shape[0]
+        C = nf_fbonds.shape[0]
+
+        # ---- pass 1: bond-graph GAT (gat2.py:137-169) --------------------
+        ea_b = nn.Dense(edge_out_ph, kernel_init=torch_linear_init,
+                        name="edge_attr_bond_embed")(batch.ea_bonds)      # (EB, Dp)
+        ea_b = jnp.broadcast_to(ea_b[:, None, :], (ea_b.shape[0], H, edge_out_ph))
+        nf_b = nn.Dense(edge_out_ph * H, kernel_init=xavier_gain,
+                        name="projection_b")(nf_bonds)
+        nf_b = nf_b.reshape(E, H, edge_out_ph)
+        a_b = self.param("a_b", xavier_gain, (H, 3 * edge_out_ph))
+        bond_out, attn_bonds = gat_attention_pass(
+            nf_b, ea_b, batch.bg_src, batch.bg_dst, a_b, E,
+            edge_mask=batch.bg_mask,
+        )
+        new_bond_features = bond_out.reshape(E, -1)
+        new_bond_features = _zero_rows(
+            new_bond_features,
+            None if hooks.bond_mask is None
+            else jnp.stack([hooks.bond_mask, hooks.bond_mask + 1]),
+        )
+        new_bond_features = new_bond_features * batch.edge_mask[:, None]
+
+        # ---- pass 2: atom-graph GAT with self-loops (gat2.py:178-224) ----
+        # self-loops appended after real edges, zero edge attrs (gat2.py:179-185)
+        sl = jnp.arange(A, dtype=batch.edge_src.dtype)
+        src = jnp.concatenate([batch.edge_src, sl])
+        dst = jnp.concatenate([batch.edge_dst, sl])
+        e_attr = jnp.concatenate(
+            [new_bond_features, jnp.zeros((A, self.edge_out), x_atoms.dtype)], axis=0
+        )
+        e_mask = jnp.concatenate([batch.edge_mask, jnp.ones((A,), x_atoms.dtype)])
+
+        nf_a = nn.Dense(atom_out_ph * H, kernel_init=torch_linear_init,
+                        name="projection_a")(x_atoms)
+        nf_a = nf_a.reshape(A, H, atom_out_ph)
+        a = self.param("a", xavier_gain, (H, 2 * atom_out_ph + self.edge_out))
+        e_attr_h = jnp.broadcast_to(
+            e_attr[:, None, :], (e_attr.shape[0], H, self.edge_out)
+        )
+        atom_out_feats, attn_atoms_full = gat_attention_pass(
+            nf_a, e_attr_h, src, dst, a, A, edge_mask=e_mask,
+        )
+        x_atoms_new = atom_out_feats.reshape(A, -1)
+        x_atoms_new = _zero_rows(x_atoms_new, hooks.atom_mask)
+        x_atoms_new = x_atoms_new * batch.atom_mask[:, None]
+
+        # ---- pass 3: atom → fragment pooling (gat2.py:234) ----------------
+        # NOTE: incoming fragment state is recomputed from atoms every layer
+        # (the reference overwrites its x_frags argument).
+        F = batch.x_frags.shape[0]
+        x_frags = segment_sum(x_atoms_new, batch.atom_to_frag, F)
+
+        # ---- pass 4: fconn-graph GAT (gat2.py:238-278) --------------------
+        ea_fb = nn.Dense(edge_out_ph, kernel_init=torch_linear_init,
+                         name="edge_attr_fbond_embed")(batch.ea_fbonds)
+        ea_fb = jnp.broadcast_to(ea_fb[:, None, :], (ea_fb.shape[0], H, edge_out_ph))
+        nf_fb = nn.Dense(edge_out_ph * H, kernel_init=torch_linear_init,
+                         name="projection_fb")(nf_fbonds)
+        nf_fb = nf_fb.reshape(C, H, edge_out_ph)
+        f_a_b = self.param("f_a_b", xavier_gain, (H, 3 * edge_out_ph))
+        fbond_out, attn_fbonds = gat_attention_pass(
+            nf_fb, ea_fb, batch.fc_src, batch.fc_dst, f_a_b, C,
+            edge_mask=batch.fc_mask,
+        )
+        new_fbond_features = fbond_out.reshape(C, -1)
+        new_fbond_features = _zero_rows(
+            new_fbond_features,
+            None if hooks.frag_bond_mask is None
+            else jnp.stack([2 * hooks.frag_bond_mask, 2 * hooks.frag_bond_mask + 1]),
+        )
+        new_fbond_features = new_fbond_features * batch.fconn_mask[:, None]
+
+        # ---- pass 5: frag-graph GAT (gat2.py:283-316) ---------------------
+        # fragment node features enter per-head WITHOUT projection
+        nf_f = x_frags.reshape(F, H, -1)
+        f = self.param("f", xavier_gain, (H, 2 * (self.atom_out // H) + self.edge_out))
+        fb_attr_h = jnp.broadcast_to(
+            new_fbond_features[:, None, :],
+            (new_fbond_features.shape[0], H, self.edge_out),
+        )
+        frag_out, attn_frags = gat_attention_pass(
+            nf_f, fb_attr_h, batch.frag_src, batch.frag_dst, f, F,
+            edge_mask=batch.fconn_mask,
+        )
+        x_frags_new = frag_out.reshape(F, -1)
+        x_frags_new = x_frags_new * batch.frag_mask[:, None]
+
+        attn = LayerAttn(
+            atoms=attn_atoms_full[:, :],  # includes self-loop contributions
+            frags=attn_frags,
+            bonds=attn_bonds,
+            fbonds=attn_fbonds,
+        )
+        return x_atoms_new, x_frags_new, new_bond_features, new_fbond_features, attn

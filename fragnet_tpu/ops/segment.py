@@ -1,0 +1,95 @@
+"""Masked segment primitives on XLA.
+
+``segment_sum``/``segment_softmax`` follow torch-scatter semantics
+(per-segment max subtraction in the softmax) with an explicit mask for padded
+entries; lowering to XLA scatter-adds that fuse with the surrounding
+elementwise work. The Pallas fused path (ops/pallas_segment.py) implements the
+same contract for the hot combined pass.
+
+Numerics: matches torch_scatter.scatter_softmax (gat2.py:153) — empty segments
+produce zeros (no edge scatters into them), masked entries contribute nothing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_BIG = -1e9
+
+
+def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
+                mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Sum ``data`` rows into ``num_segments`` buckets. ``mask`` (same leading
+    dim) zeroes padded rows before accumulation."""
+    if mask is not None:
+        data = data * mask.reshape(mask.shape + (1,) * (data.ndim - 1))
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_max(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
+                mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    if mask is not None:
+        neg = jnp.full_like(data, _NEG_BIG)
+        data = jnp.where(
+            mask.reshape(mask.shape + (1,) * (data.ndim - 1)) > 0, data, neg
+        )
+    return jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+
+
+def segment_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
+                    num_segments: int,
+                    mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-segment softmax over the leading dim of ``logits`` (any trailing
+    dims are treated pointwise, like scatter_softmax(dim=0)). Masked entries
+    get probability 0 and do not contribute to any denominator."""
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (logits.ndim - 1))
+        logits = jnp.where(m > 0, logits, _NEG_BIG)
+    seg_max = segment_max(logits, segment_ids, num_segments)
+    seg_max = jnp.where(seg_max <= _NEG_BIG / 2, 0.0, seg_max)  # empty segments
+    shifted = logits - seg_max[segment_ids]
+    exp = jnp.exp(shifted)
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (logits.ndim - 1))
+        exp = exp * m
+    denom = jax.ops.segment_sum(exp, segment_ids, num_segments=num_segments)
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    return exp / denom[segment_ids]
+
+
+def gat_attention_pass(
+    node_feats_h: jnp.ndarray,   # (N, H, D) per-head node features
+    edge_attr_h: jnp.ndarray,    # (E, H, Da) per-head (or broadcast) edge attrs
+    src: jnp.ndarray,            # (E,) i32 — message source nodes
+    dst: jnp.ndarray,            # (E,) i32 — aggregation targets
+    attn_vec: jnp.ndarray,       # (H, 2*D + Da) attention parameter
+    num_nodes: int,
+    edge_mask: Optional[jnp.ndarray] = None,
+    negative_slope: float = 0.2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One GAT-style attention pass — the reference's repeated block
+    (gat2.py:137-169 and three siblings):
+
+        message   = [h_dst ‖ e ‖ h_src]              (per head)
+        logit     = leaky_relu(Σ message · a, 0.2)
+        prob      = segment_softmax(logit, dst)
+        out[n]    = Σ_{e: dst=n} prob_e · h_src[e]
+        attn[n]   = Σ_{e: src=n} prob_e              (reference sums by SOURCE,
+                                                      gat2.py:165-167)
+
+    Returns (aggregated (N, H, D), summed_attn (N, H)).
+    """
+    h_src = node_feats_h[src]            # (E, H, D)
+    h_dst = node_feats_h[dst]            # (E, H, D)
+    msg = jnp.concatenate([h_dst, edge_attr_h, h_src], axis=-1)
+    logits = jnp.sum(msg * attn_vec[None, :, :], axis=-1)  # (E, H)
+    logits = jax.nn.leaky_relu(logits, negative_slope)
+    probs = segment_softmax(logits, dst, num_nodes, mask=edge_mask)
+    weighted = probs[..., None] * h_src
+    out = jax.ops.segment_sum(weighted, dst, num_segments=num_nodes)
+    attn_by_src = jax.ops.segment_sum(probs, src, num_segments=num_nodes)
+    return out, attn_by_src

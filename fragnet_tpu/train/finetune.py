@@ -1,0 +1,265 @@
+"""Finetune entry point — the analog of fragnet/train/finetune/finetune_gat2.py.
+
+Usage:
+    python -m fragnet_tpu.train.finetune --config configs/ft/esol.yaml [k=v ...]
+
+Config schema (reference-compatible keys kept: seed, exp_dir, model_version,
+atom_features, frag_features, edge_features, fedge_in, fbond_edge_in,
+pretrain.*, finetune.*):
+
+    seed: 42
+    exp_dir: exps/ft/esol
+    model_version: gat2          # gat2 | gat2_lite | gat2_edge | gcn2
+    finetune:
+      data:
+        name: esol               # registry name, or 'csv'
+        path: null               # csv path / data dir
+        split: scaffold          # scaffold | random | random_scaffold
+        frag_type: brics
+      model: {num_layer: 4, num_heads: 4, drop_ratio: 0.1, emb_dim: 128,
+              h1: 128, h2: 1024, h3: 1024, h4: 512, act: relu,
+              fthead: FTHead3}
+      target_type: regr          # regr | clsf
+      batch_size: 16
+      lr: 1.0e-4
+      n_epochs: 100
+      es_patience: 100
+      use_schedular: false
+      chkpoint_name: ft.ckpt
+    pretrain:
+      use: false
+      chk: path/to/pt.ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+
+def seed_everything(seed: int) -> None:
+    """(reference finetune_gat2.py:17-26)"""
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def build_model(opt, n_classes: int):
+    mv = opt.get("model_version", "gat2")
+    m = opt.finetune.model
+    kw = dict(
+        n_classes=n_classes,
+        atom_features=opt.get("atom_features", 167),
+        frag_features=opt.get("frag_features", 167),
+        edge_features=opt.get("edge_features", 17),
+        fedge_in=opt.get("fedge_in", 6),
+        fbond_edge_in=opt.get("fbond_edge_in", 6),
+        num_layer=m.get("num_layer", 4),
+        num_heads=m.get("num_heads", 4),
+        drop_ratio=m.get("drop_ratio", 0.15),
+        emb_dim=m.get("emb_dim", 128),
+        h1=m.get("h1", 256), h2=m.get("h2", 256),
+        h3=m.get("h3", 256), h4=m.get("h4", 256),
+        act=m.get("act", "relu"),
+        fthead=m.get("fthead", "FTHead3"),
+    )
+    if mv == "gat2":
+        from fragnet_tpu.model.finetune import FragNetFineTune
+
+        return FragNetFineTune(**kw)
+    if mv == "gat2_lite":
+        from fragnet_tpu.model.variants import FragNetFineTuneLite
+
+        return FragNetFineTuneLite(**kw)
+    if mv == "gat2_edge":
+        from fragnet_tpu.model.variants import FragNetFineTuneEdge
+
+        return FragNetFineTuneEdge(**kw)
+    if mv == "gcn2":
+        from fragnet_tpu.model.variants import FragNetFineTuneGCN
+
+        return FragNetFineTuneGCN(**kw)
+    raise ValueError(f"unknown model_version {mv!r}")
+
+
+def load_datasets(opt):
+    """Returns (train_graphs, val_graphs, test_graphs, n_tasks, task)."""
+    from fragnet_tpu.data.datasets import build_graphs, load_pickle_dataset
+    from fragnet_tpu.data.moleculenet import load_moleculenet, target_columns
+    from fragnet_tpu.data.splitters import random_split, scaffold_split
+
+    ft = opt.finetune
+    data = ft.get("data", None)
+
+    # pre-featurized pickles (reference train/val/test.path flow)
+    if ft.get("train", None) and ft.train.get("path", None):
+        return (
+            load_pickle_dataset(ft.train.path),
+            load_pickle_dataset(ft.val.path),
+            load_pickle_dataset(ft.test.path),
+            int(ft.get("n_classes", 1)),
+            ft.get("target_type", "regr"),
+        )
+
+    name = data.get("name", "esol")
+    df = load_moleculenet(
+        name,
+        data_dir=data.get("path", None),
+        n_synthetic=int(data.get("n_synthetic", 512)),
+        seed=int(opt.get("seed", 42)),
+    )
+    tcols = target_columns(df)
+    smiles = list(df["smiles"])
+    split = data.get("split", "scaffold")
+    if split == "scaffold":
+        tr, va, te = scaffold_split(smiles)
+    elif split == "random":
+        tr, va, te = random_split(len(smiles), seed=int(opt.get("seed", 42)))
+    else:
+        from fragnet_tpu.data.splitters import random_scaffold_split
+
+        tr, va, te = random_scaffold_split(smiles, seed=int(opt.get("seed", 42)))
+
+    target_vals = df[tcols].values
+    frag_type = data.get("frag_type", "brics")
+
+    def make(idx):
+        return build_graphs(
+            [smiles[i] for i in idx],
+            [target_vals[i] for i in idx],
+            frag_type=frag_type,
+        )
+
+    task = opt.finetune.get("target_type", "regr")
+    return make(tr), make(va), make(te), len(tcols), task
+
+
+def run_finetune(opt, quiet: bool = False):
+    from fragnet_tpu.data.batcher import BatchLoader
+    from fragnet_tpu.graphs.hiergraph import spec_for
+    from fragnet_tpu.train.checkpoint import (
+        load_params,
+        save_params,
+        transfer_pretrained_encoder,
+    )
+    from fragnet_tpu.train.earlystop import EarlyStopping
+    from fragnet_tpu.train.loop import TrainerFineTune, TrainState
+    from fragnet_tpu.train.optim import make_optimizer, make_schedule
+
+    seed = int(opt.get("seed", 42))
+    seed_everything(seed)
+    exp_dir = opt.get("exp_dir", "exps/tmp")
+    os.makedirs(exp_dir, exist_ok=True)
+
+    train_g, val_g, test_g, n_tasks, task = load_datasets(opt)
+    if not quiet:
+        print(f"datasets: train={len(train_g)} val={len(val_g)} test={len(test_g)} "
+              f"tasks={n_tasks} type={task}")
+
+    ft = opt.finetune
+    bs = int(ft.get("batch_size", 16))
+    spec = spec_for(train_g + val_g + test_g, batch_size=bs)
+
+    model = build_model(opt, n_classes=n_tasks)
+
+    train_loader = BatchLoader(train_g, bs, spec=spec, shuffle=True, seed=seed,
+                               n_tasks=n_tasks)
+    val_loader = BatchLoader(val_g, bs, spec=spec, n_tasks=n_tasks)
+    test_loader = BatchLoader(test_g, bs, spec=spec, n_tasks=n_tasks)
+
+    # init
+    rng = jax.random.PRNGKey(seed)
+    init_batch = next(iter(train_loader))
+    params = model.init(rng, init_batch, deterministic=True)
+
+    # pretrained encoder transfer (finetune_gat2.py:213-230)
+    pt = opt.get("pretrain", None)
+    if pt and pt.get("use", False) and pt.get("chk", None):
+        from fragnet_tpu.model.pretrain import FragNetPreTrain
+
+        m = ft.model
+        pt_model = FragNetPreTrain(
+            num_layer=m.get("num_layer", 4), num_heads=m.get("num_heads", 4),
+            drop_ratio=m.get("drop_ratio", 0.15), emb_dim=m.get("emb_dim", 128),
+            atom_features=opt.get("atom_features", 167),
+            frag_features=opt.get("frag_features", 167),
+            edge_features=opt.get("edge_features", 17),
+            fedge_in=opt.get("fedge_in", 6),
+            fbond_edge_in=opt.get("fbond_edge_in", 6),
+        )
+        pt_params = pt_model.init(jax.random.PRNGKey(0), init_batch,
+                                  deterministic=True)
+        pt_params = load_params(pt_params, pt.chk)
+        params = transfer_pretrained_encoder(params, pt_params)
+        if not quiet:
+            print(f"loaded pretrained encoder from {pt.chk}")
+
+    n_epochs = int(ft.get("n_epochs", 100))
+    sched = None
+    if ft.get("use_schedular", False):
+        sched = make_schedule("linear", float(ft.get("lr", 1e-4)),
+                              total_steps=n_epochs * max(1, len(train_loader)))
+    tx = make_optimizer("adam", lr=float(ft.get("lr", 1e-4)), schedule=sched)
+    state = TrainState.create(params, tx)
+
+    trainer = TrainerFineTune(model, tx, target_type=task)
+    ckpt_path = os.path.join(exp_dir, ft.get("chkpoint_name", "ft.ckpt"))
+    es = EarlyStopping(patience=int(ft.get("es_patience", 100)),
+                       path=ckpt_path, save_fn=save_params)
+
+    rng = jax.random.PRNGKey(seed + 1)
+    t0 = time.time()
+    for epoch in range(n_epochs):
+        rng, sub = jax.random.split(rng)
+        state, train_loss = trainer.train_epoch(state, train_loader, sub)
+        val_score = trainer.validate(state.params, val_loader)
+        es(val_score, state.params)
+        if not quiet and (epoch % 10 == 0 or epoch == n_epochs - 1):
+            print(f"epoch {epoch:4d} train_loss {train_loss:.5f} "
+                  f"val {val_score:.5f} best {-(es.best_score or 0):.5f} "
+                  f"[{time.time() - t0:.1f}s]")
+        if es.early_stop:
+            if not quiet:
+                print(f"early stop at epoch {epoch}")
+            break
+
+    best = es.best_params if es.best_params is not None else state.params
+    score, y, p = trainer.test(best, test_loader)
+    metric = "rmse" if task == "regr" else "roc_auc"
+    value = float(np.sqrt(score)) if task == "regr" else -score
+    if not quiet:
+        print(f"test {metric}: {value:.5f}")
+    with open(os.path.join(exp_dir, f"preds_seed_{seed}.pkl"), "wb") as f:
+        pickle.dump({"y": y, "pred": p, metric: value}, f)
+    return value, best
+
+
+def main():
+    from fragnet_tpu.config import load_config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("overrides", nargs="*", help="dotted.key=value overrides")
+    args = ap.parse_args()
+    opt = load_config(args.config)
+    for ov in args.overrides:
+        k, v = ov.split("=", 1)
+        try:
+            import ast
+
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+        opt.set_path(k, v)
+    run_finetune(opt)
+
+
+if __name__ == "__main__":
+    main()
