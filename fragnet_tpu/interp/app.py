@@ -1,0 +1,115 @@
+"""Interactive interpretability app — the analog of fragnet/vizualize/app.py
+(Streamlit, README.md:160).
+
+* With streamlit installed:  ``streamlit run fragnet_tpu/interp/app.py``
+* Without (zero-dep fallback): ``python -m fragnet_tpu.interp.app --smiles CCO
+  --config <cfg> --ckpt <ckpt> --out report.html`` writes a standalone HTML
+  report with the same four tabs' content (atoms / bonds / fragments /
+  fragment-connections, attention + masking contributions).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _load_model(config_path: str, ckpt_path: str):
+    import jax
+
+    from fragnet_tpu.config import load_config
+    from fragnet_tpu.interp.attention import FragNetInterpreter
+    from fragnet_tpu.train.checkpoint import load_params
+    from fragnet_tpu.train.finetune import build_model
+
+    opt = load_config(config_path)
+    model = build_model(opt, n_classes=int(opt.finetune.get("n_classes", 1)))
+    interp = FragNetInterpreter(model, None)
+    g, mol, batch = interp.featurize("CCO")
+    params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+    if ckpt_path and os.path.exists(ckpt_path):
+        params = load_params(params, ckpt_path)
+    interp.params = params
+    return interp
+
+
+def run_cli() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--smiles", required=True)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--out", default="interpretation.html")
+    args = ap.parse_args()
+
+    from fragnet_tpu.chem.smiles import MolFromSmiles
+    from fragnet_tpu.interp.render import render_report
+
+    # validate input before paying for model build/compile
+    if MolFromSmiles(args.smiles) is None:
+        print(f"error: could not parse SMILES {args.smiles!r}")
+        raise SystemExit(2)
+
+    interp = _load_model(args.config, args.ckpt)
+    result = interp.interpret(args.smiles, with_contributions=True)
+    path = render_report(result, args.out)
+    print(f"prediction: {result.prediction:.4f}")
+    print(f"report: {path}")
+
+
+def run_streamlit() -> None:  # pragma: no cover - needs streamlit
+    import streamlit as st
+
+    st.set_page_config(page_title="FragNet-TPU interpretability")
+    st.title("FragNet-TPU — molecular interpretability")
+    config = st.sidebar.text_input("config YAML", "configs/ft/esol.yaml")
+    ckpt = st.sidebar.text_input("checkpoint", "")
+    smiles = st.text_input("SMILES", "CC(=O)Oc1ccccc1C(=O)O")
+    if st.button("Interpret") and smiles:
+        from fragnet_tpu.interp.render import draw_molecule
+
+        interp = _load_model(config, ckpt or None)
+        res = interp.interpret(smiles)
+        st.metric("prediction", f"{res.prediction:.4f}")
+        tabs = st.tabs(["Atoms", "Bonds", "Fragments", "Connections"])
+        import numpy as np
+
+        with tabs[0]:
+            st.image(draw_molecule(res.mol, atom_colors=res.atom_weights))
+            if res.atom_contrib is not None:
+                st.image(draw_molecule(res.mol, atom_colors=res.atom_contrib,
+                                       signed=True))
+        with tabs[1]:
+            bw = np.zeros(res.mol.GetNumBonds())
+            bw[: len(res.bond_weights)] = res.bond_weights[: len(bw)]
+            st.image(draw_molecule(res.mol, bond_colors=bw))
+        with tabs[2]:
+            fa = res.frag_weights[np.asarray(res.graph.atom_to_frag)]
+            st.image(draw_molecule(res.mol, atom_colors=fa,
+                                   frag_of_atom=res.graph.atom_to_frag))
+            st.dataframe({
+                "fragment": list(range(len(res.frag_weights))),
+                "attention": res.frag_weights,
+                "contribution": res.frag_contrib,
+            })
+        with tabs[3]:
+            st.dataframe({
+                "connection": list(range(len(res.fconn_weights))),
+                "attention": res.fconn_weights,
+                "contribution": res.fconn_contrib,
+            })
+
+
+if __name__ == "__main__":
+    try:
+        import streamlit  # noqa: F401
+
+        in_streamlit = os.environ.get("STREAMLIT_SERVER_PORT") is not None
+    except ImportError:
+        in_streamlit = False
+    if in_streamlit:  # pragma: no cover
+        run_streamlit()
+    else:
+        run_cli()
+elif "streamlit" in sys.modules:  # pragma: no cover - streamlit run imports
+    run_streamlit()

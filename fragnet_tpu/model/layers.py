@@ -53,16 +53,20 @@ def _zero_rows(x: jnp.ndarray, idx: Optional[jnp.ndarray]) -> jnp.ndarray:
 
 @struct.dataclass
 class LayerHooks:
-    """Interpretability masks, all optional traced scalars (−1 = disabled).
+    """Interpretability masks, all optional traced values (−1 = disabled).
 
     * bond_mask:      zero bond-feature rows k, k+1      (gat2.py:171-177)
     * frag_bond_mask: zero fconn rows 2k, 2k+1           (gat2.py:274-278)
     * atom_mask:      zero one atom's hidden state       (gat2.py:227-232)
+    * atom_zero_vec:  (A,) float mask; 1 → zero that atom's hidden state —
+      the multi-atom form used by fragment attribution
+      (vizualize/model_attr.py:115-133 zeroes whole-fragment atom sets)
     """
 
     bond_mask: Optional[jnp.ndarray] = None
     frag_bond_mask: Optional[jnp.ndarray] = None
     atom_mask: Optional[jnp.ndarray] = None
+    atom_zero_vec: Optional[jnp.ndarray] = None
 
 
 @struct.dataclass
@@ -144,6 +148,8 @@ class FragNetLayer(nn.Module):
         )
         x_atoms_new = atom_out_feats.reshape(A, -1)
         x_atoms_new = _zero_rows(x_atoms_new, hooks.atom_mask)
+        if hooks.atom_zero_vec is not None:
+            x_atoms_new = x_atoms_new * (1.0 - hooks.atom_zero_vec)[:, None]
         x_atoms_new = x_atoms_new * batch.atom_mask[:, None]
 
         # ---- pass 3: atom → fragment pooling (gat2.py:234) ----------------

@@ -1,0 +1,220 @@
+"""Pretraining: 4-target geometric objective + entry point.
+
+Reference: fragnet/train/pretrain/pretrain_gat2.py (entry) and
+pretrain_utils.py:4-56 (Trainer). The reference's loss accidentally
+overwrites the bond-length term with the dihedral term, making the
+effective loss angle + 2·dihedral + energy (pretrain_utils.py:22-26);
+we default to the intended sum of all four and expose
+``compat_loss_overwrite=True`` to reproduce the reference exactly.
+
+Usage:
+    python -m fragnet_tpu.train.pretrain --config configs/pt/unimol.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from functools import partial
+from typing import Callable, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fragnet_tpu.train.loop import TrainState
+
+
+def pretrain_loss(preds, batch, compat_loss_overwrite: bool = False) -> jnp.ndarray:
+    """Masked MSE over the four geometric targets."""
+    bl, ba, da, energy = preds
+    e_mask = batch.edge_mask[:, None]
+    a_mask = batch.atom_mask[:, None]
+    g_mask = batch.graph_mask
+
+    def mse(pred, true, mask):
+        return jnp.sum((pred - true) ** 2 * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    loss_lngth = mse(bl, batch.bnd_lngth, e_mask)
+    loss_angle = mse(ba, batch.bnd_angl, a_mask)
+    loss_dihed = mse(da, batch.dh_angl, e_mask)
+    loss_e = jnp.sum((energy[:, 0] - batch.y[:, 0]) ** 2 * g_mask) / jnp.maximum(
+        jnp.sum(g_mask), 1.0
+    )
+    if compat_loss_overwrite:
+        # reference quirk: loss = dihedral + angle + dihedral + energy
+        return loss_dihed + loss_angle + loss_dihed + loss_e
+    return loss_lngth + loss_angle + loss_dihed + loss_e
+
+
+def make_pretrain_step(model, tx: optax.GradientTransformation,
+                       compat_loss_overwrite: bool = False) -> Callable:
+    @jax.jit
+    def step(state: TrainState, batch, rng) -> Tuple[TrainState, jnp.ndarray]:
+        def loss(params):
+            preds = model.apply(params, batch, deterministic=False,
+                                rngs={"dropout": rng, "mask": rng})
+            return pretrain_loss(preds, batch, compat_loss_overwrite)
+
+        l, grads = jax.value_and_grad(loss)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), l
+
+    return step
+
+
+def make_pretrain_eval(model, compat_loss_overwrite: bool = False) -> Callable:
+    @jax.jit
+    def eval_step(params, batch):
+        preds = model.apply(params, batch, deterministic=True)
+        return pretrain_loss(preds, batch, compat_loss_overwrite)
+
+    return eval_step
+
+
+class PretrainTrainer:
+    """Epoch driver (reference pretrain_utils.Trainer:4-56)."""
+
+    def __init__(self, model, tx, compat_loss_overwrite: bool = False):
+        self.model = model
+        self.tx = tx
+        self._step = make_pretrain_step(model, tx, compat_loss_overwrite)
+        self._eval = make_pretrain_eval(model, compat_loss_overwrite)
+
+    def train_epoch(self, state: TrainState, batches: Iterable, rng):
+        total, n = 0.0, 0
+        for batch in batches:
+            rng, sub = jax.random.split(rng)
+            state, l = self._step(state, batch, sub)
+            total += float(l)
+            n += 1
+        return state, total / max(n, 1)
+
+    def validate(self, params, batches: Iterable) -> float:
+        total, n = 0.0, 0
+        for batch in batches:
+            total += float(self._eval(params, batch))
+            n += 1
+        return total / max(n, 1)
+
+
+def run_pretrain(opt, quiet: bool = False):
+    from fragnet_tpu.data.batcher import BatchLoader
+    from fragnet_tpu.data.datasets import PretrainData, load_data_parts
+    from fragnet_tpu.data.synthetic import synthetic_dataset
+    from fragnet_tpu.graphs.hiergraph import spec_for
+    from fragnet_tpu.model.pretrain import FragNetPreTrain, FragNetPreTrainMasked
+    from fragnet_tpu.train.checkpoint import load_params, save_params
+    from fragnet_tpu.train.earlystop import EarlyStopping
+    from fragnet_tpu.train.optim import make_optimizer
+
+    seed = int(opt.get("seed", 42))
+    exp_dir = opt.get("exp_dir", "exps/pt")
+    os.makedirs(exp_dir, exist_ok=True)
+    pt = opt.pretrain
+
+    # data: sharded pickles or synthetic SMILES
+    if pt.get("data_dir", None):
+        graphs = load_data_parts(pt.data_dir, dedup=False)
+    else:
+        df = synthetic_dataset(n=int(pt.get("n_synthetic", 256)),
+                               task="regression", seed=seed)
+        maker = PretrainData(data_type=opt.get("data_type", "exp1s"),
+                             num_conf=int(pt.get("num_conf", 1)))
+        graphs = maker.get_pt_dataset(list(df["smiles"]), seed=seed)
+    if not quiet:
+        print(f"pretrain graphs: {len(graphs)}")
+
+    rng_np = np.random.default_rng(seed)
+    order = rng_np.permutation(len(graphs))
+    n_val = max(1, len(graphs) // 10)
+    val_g = [graphs[i] for i in order[:n_val]]
+    train_g = [graphs[i] for i in order[n_val:]]
+
+    bs = int(pt.get("batch_size", 32))
+    spec = spec_for(graphs, batch_size=bs)
+    train_loader = BatchLoader(train_g, bs, spec=spec, shuffle=True, seed=seed,
+                               with_targets=True)
+    val_loader = BatchLoader(val_g, bs, spec=spec, with_targets=True)
+
+    m = pt.get("model", {})
+    model_version = pt.get("model_version", "gat2")
+    kw = dict(
+        num_layer=int(m.get("num_layer", 4) if hasattr(m, "get") else 4),
+        num_heads=int(m.get("num_heads", 4) if hasattr(m, "get") else 4),
+        drop_ratio=float(m.get("drop_ratio", 0.2) if hasattr(m, "get") else 0.2),
+        emb_dim=int(m.get("emb_dim", 128) if hasattr(m, "get") else 128),
+        atom_features=int(opt.get("atom_features", 167)),
+        frag_features=int(opt.get("frag_features", 167)),
+        edge_features=int(opt.get("edge_features", 17)),
+        fedge_in=int(opt.get("fedge_in", 6)),
+        fbond_edge_in=int(opt.get("fbond_edge_in", 6)),
+    )
+    if model_version == "gat2_masked":
+        model = FragNetPreTrainMasked(**kw)
+    else:
+        model = FragNetPreTrain(**kw)
+
+    rng = jax.random.PRNGKey(seed)
+    init_batch = next(iter(train_loader))
+    params = model.init(rng, init_batch, deterministic=True)
+
+    # resume (pretrain_gat2.py:130-131)
+    if pt.get("saved_checkpoint", None) and os.path.exists(pt.saved_checkpoint):
+        params = load_params(params, pt.saved_checkpoint)
+        if not quiet:
+            print(f"resumed from {pt.saved_checkpoint}")
+
+    tx = make_optimizer(pt.get("optimizer", "adam"), lr=float(pt.get("lr", 1e-4)))
+    state = TrainState.create(params, tx)
+    trainer = PretrainTrainer(model, tx,
+                              compat_loss_overwrite=bool(pt.get("compat_loss_overwrite", False)))
+
+    ckpt = os.path.join(exp_dir, pt.get("chkpoint_name", "pt.ckpt"))
+    es = EarlyStopping(patience=int(pt.get("es_patience", 200)), path=ckpt,
+                       save_fn=save_params)
+    n_epochs = int(pt.get("n_epochs", 100))
+    val_every = int(pt.get("val_every", 5))
+
+    rng = jax.random.PRNGKey(seed + 1)
+    t0 = time.time()
+    for epoch in range(n_epochs):
+        rng, sub = jax.random.split(rng)
+        state, train_loss = trainer.train_epoch(state, train_loader, sub)
+        if epoch % val_every == 0 or epoch == n_epochs - 1:
+            val_loss = trainer.validate(state.params, val_loader)
+            es(val_loss, state.params)
+            if not quiet:
+                print(f"epoch {epoch:4d} train {train_loss:.5f} val {val_loss:.5f} "
+                      f"[{time.time() - t0:.1f}s]")
+            if es.early_stop:
+                break
+    return es.best_score, ckpt
+
+
+def main():
+    from fragnet_tpu.config import load_config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+    opt = load_config(args.config)
+    for ov in args.overrides:
+        k, v = ov.split("=", 1)
+        try:
+            import ast
+
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+        opt.set_path(k, v)
+    run_pretrain(opt)
+
+
+if __name__ == "__main__":
+    main()

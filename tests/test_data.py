@@ -1,0 +1,176 @@
+"""Data-layer tests: splitters, batcher, synthetic generator, MoleculeNet
+registry, persistence."""
+
+import numpy as np
+import pytest
+
+from fragnet_tpu.data.batcher import BatchLoader
+from fragnet_tpu.data.splitters import (
+    cv_random_split,
+    deepchem_scaffold_split,
+    random_scaffold_split,
+    random_split,
+    scaffold_split,
+)
+from fragnet_tpu.data.synthetic import pseudo_solubility, synthetic_dataset
+from fragnet_tpu.graphs.hiergraph import spec_for
+
+
+@pytest.fixture(scope="module")
+def smiles_pool():
+    df = synthetic_dataset(n=60, task="regression", seed=3)
+    return list(df["smiles"])
+
+
+class TestSplitters:
+    def test_scaffold_split_disjoint_and_complete(self, smiles_pool):
+        tr, va, te = scaffold_split(smiles_pool)
+        all_idx = sorted(tr + va + te)
+        assert all_idx == list(range(len(smiles_pool)))
+        assert not (set(tr) & set(va)) and not (set(va) & set(te))
+        assert len(tr) > len(va) and len(tr) > len(te)
+
+    def test_scaffold_split_deterministic(self, smiles_pool):
+        a = scaffold_split(smiles_pool)
+        b = scaffold_split(smiles_pool)
+        assert a == b
+
+    def test_scaffolds_not_shared_across_splits(self, smiles_pool):
+        from fragnet_tpu.data.splitters import generate_scaffold
+
+        tr, va, te = scaffold_split(smiles_pool)
+        s_tr = {generate_scaffold(smiles_pool[i]) for i in tr}
+        s_te = {generate_scaffold(smiles_pool[i]) for i in te}
+        assert not (s_tr & s_te)
+
+    def test_random_split_seeded(self):
+        a = random_split(100, seed=1)
+        b = random_split(100, seed=1)
+        c = random_split(100, seed=2)
+        assert a == b and a != c
+        assert len(a[0]) == 80 and len(a[1]) == 10
+
+    def test_random_scaffold_and_deepchem(self, smiles_pool):
+        tr, va, te = random_scaffold_split(smiles_pool, seed=0)
+        assert len(tr) + len(va) + len(te) == len(smiles_pool)
+        tr2, va2, te2 = deepchem_scaffold_split(smiles_pool)
+        assert len(tr2) + len(va2) + len(te2) == len(smiles_pool)
+
+    def test_cv(self):
+        folds = cv_random_split(50, n_folds=5, seed=0)
+        assert len(folds) == 5
+        for tr, va in folds:
+            assert len(tr) + len(va) == 50
+            assert not (set(tr) & set(va))
+
+
+class TestSynthetic:
+    def test_regression_dataset(self):
+        df = synthetic_dataset(n=40, task="regression", seed=0)
+        assert len(df) == 40
+        assert df["smiles"].is_unique
+        assert np.isfinite(df["y"]).all()
+        # labels vary with structure
+        assert df["y"].std() > 0.1
+
+    def test_classification_multitask(self):
+        df = synthetic_dataset(n=40, task="classification", seed=0, n_tasks=3)
+        for c in ["y0", "y1", "y2"]:
+            vals = set(df[c].unique())
+            assert vals.issubset({0.0, 1.0, -1.0})
+
+    def test_deterministic(self):
+        a = synthetic_dataset(n=20, seed=5)
+        b = synthetic_dataset(n=20, seed=5)
+        assert list(a["smiles"]) == list(b["smiles"])
+
+    def test_property_function(self):
+        # more polar → more soluble
+        assert pseudo_solubility("OCCO") > pseudo_solubility("c1ccc2ccccc2c1")
+
+
+class TestMoleculeNetRegistry:
+    def test_csv_loading(self, tmp_path):
+        import pandas as pd
+
+        from fragnet_tpu.data.moleculenet import load_moleculenet_csv
+
+        p = tmp_path / "esol.csv"
+        pd.DataFrame({
+            "smiles": ["CCO", "CCC"],
+            "measured log solubility in mols per litre": [-0.77, -1.5],
+            "Compound ID": ["a", "b"],
+        }).to_csv(p, index=False)
+        df = load_moleculenet_csv("esol", str(p))
+        assert list(df.columns) == [
+            "smiles", "measured log solubility in mols per litre"
+        ]
+
+    def test_classification_nan_to_missing(self, tmp_path):
+        import pandas as pd
+
+        from fragnet_tpu.data.moleculenet import load_moleculenet_csv
+
+        p = tmp_path / "tox21.csv"
+        pd.DataFrame({
+            "smiles": ["CCO", "CCC"],
+            "NR-AR": [1.0, None],
+            "mol_id": ["x", "y"],
+        }).to_csv(p, index=False)
+        df = load_moleculenet_csv("tox21", str(p))
+        assert df["NR-AR"].tolist() == [1.0, -1.0]
+
+    def test_synthetic_fallback(self):
+        from fragnet_tpu.data.moleculenet import load_moleculenet
+
+        df = load_moleculenet("bbbp", data_dir=None, n_synthetic=16)
+        assert df.attrs.get("synthetic")
+        assert "p_np" in df.columns
+
+    def test_unknown_raises(self):
+        from fragnet_tpu.data.moleculenet import load_moleculenet
+
+        with pytest.raises(KeyError):
+            load_moleculenet("nope")
+
+
+class TestBatchLoader:
+    def test_covers_all_and_masks(self, ft_graphs):
+        spec = spec_for(ft_graphs, batch_size=3)
+        loader = BatchLoader(ft_graphs, 3, spec=spec, to_device=False)
+        total = 0
+        for b in loader:
+            total += int(b.graph_mask.sum())
+        assert total == len(ft_graphs)
+
+    def test_shuffle_deterministic_per_epoch(self, ft_graphs):
+        spec = spec_for(ft_graphs, batch_size=4)
+        l1 = BatchLoader(ft_graphs, 4, spec=spec, shuffle=True, seed=9,
+                         to_device=False)
+        l2 = BatchLoader(ft_graphs, 4, spec=spec, shuffle=True, seed=9,
+                         to_device=False)
+        b1 = [b.y[:, 0].tolist() for b in l1]
+        b2 = [b.y[:, 0].tolist() for b in l2]
+        assert b1 == b2
+        # next epoch differs
+        b3 = [b.y[:, 0].tolist() for b in l1]
+        assert b1 != b3
+
+    def test_drop_last(self, ft_graphs):
+        spec = spec_for(ft_graphs, batch_size=3)
+        loader = BatchLoader(ft_graphs, 3, spec=spec, drop_last=True,
+                             to_device=False)
+        for b in loader:
+            assert int(b.graph_mask.sum()) == 3
+
+
+class TestPersistence:
+    def test_shards_roundtrip_and_dedup(self, ft_graphs, tmp_path):
+        from fragnet_tpu.data.datasets import load_data_parts, save_ds_parts
+
+        save_ds_parts(list(ft_graphs) + [ft_graphs[0]], str(tmp_path),
+                      shard_size=3)
+        loaded = load_data_parts(str(tmp_path), dedup=True)
+        assert len(loaded) == len(ft_graphs)
+        loaded2 = load_data_parts(str(tmp_path), dedup=False)
+        assert len(loaded2) == len(ft_graphs) + 1
