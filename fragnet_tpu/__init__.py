@@ -20,3 +20,14 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Some TPU pods register their PJRT plugin via sitecustomize and set
+# jax_platforms through jax.config, which silently overrides the
+# JAX_PLATFORMS env var. FRAGNET_PLATFORM provides a reliable escape hatch
+# (e.g. FRAGNET_PLATFORM=cpu for host-only featurization / debugging).
+import os as _os
+
+if _os.environ.get("FRAGNET_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FRAGNET_PLATFORM"])

@@ -1,0 +1,104 @@
+"""HP search tests: space sampling, study persistence/resume, pruning,
+TPE-lite convergence on a cheap analytic objective."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from fragnet_tpu.config import Config
+from fragnet_tpu.hp.search import (
+    FAILURE_SCORE,
+    Param,
+    SearchSpace,
+    Study,
+    fragnet_search_space,
+    run_hp_search,
+)
+
+
+class TestSearchSpace:
+    def test_fragnet_space_sampling(self):
+        space = fragnet_search_space()
+        rng = random.Random(0)
+        for _ in range(20):
+            s = space.sample(rng)
+            assert s["drop_ratio"] in (0.0, 0.1, 0.2, 0.3)
+            assert 64 <= s["h1"] <= 2048 and s["h1"] % 64 == 0
+            assert s["batch_size"] in (16, 32, 64, 128)
+            assert 1e-5 <= s["lr"] <= 1e-3
+
+
+class TestStudy:
+    def test_persistence_and_resume(self, tmp_path):
+        db = str(tmp_path / "s.sqlite")
+        s1 = Study(db, name="t")
+        tid = s1.start_trial({"x": 1.0})
+        s1.finish_trial(tid, 0.5)
+        s2 = Study(db, name="t")  # reopen = resume
+        assert s2.n_complete == 1
+        assert s2.best_trial == ({"x": 1.0}, 0.5)
+
+    def test_failure_sentinel(self, tmp_path):
+        db = str(tmp_path / "s.sqlite")
+        study = Study(db, name="t")
+        space = SearchSpace([Param("x", "float", low=0, high=1)])
+
+        calls = []
+
+        def objective(params, handle):
+            calls.append(params)
+            if len(calls) == 2:
+                raise RuntimeError("boom")
+            return params["x"]
+
+        study.optimize(objective, space, n_trials=3)
+        rows = study.conn.execute(
+            "SELECT value, state FROM trials ORDER BY id"
+        ).fetchall()
+        assert rows[1] == (FAILURE_SCORE, "FAIL")
+        assert len(rows) == 3
+
+    def test_pruning(self, tmp_path):
+        db = str(tmp_path / "s.sqlite")
+        study = Study(db, name="t")
+        # seed reports at step 0 from 5 fake trials
+        for i, v in enumerate([0.1, 0.2, 0.3, 0.4, 0.5]):
+            study.conn.execute("INSERT INTO reports VALUES (?,?,?)", (i, 0, v))
+        study.conn.commit()
+        assert study.should_prune(99, 0, 0.9)      # above median
+        assert not study.should_prune(98, 0, 0.05) # below median
+
+    def test_tpe_converges_on_quadratic(self, tmp_path):
+        db = str(tmp_path / "s.sqlite")
+        study = Study(db, name="q", n_startup=6, seed=1)
+        space = SearchSpace([Param("x", "float", low=-2, high=2)])
+
+        def objective(params, handle):
+            return (params["x"] - 0.7) ** 2
+
+        study.optimize(objective, space, n_trials=40)
+        best_params, best_val = study.best_trial
+        assert best_val < 0.15, (best_params, best_val)
+
+
+class TestEndToEnd:
+    def test_run_hp_search_with_stub_trainer(self, tmp_path):
+        cfg = Config({
+            "exp_dir": str(tmp_path),
+            "finetune": {"model": {}, "batch_size": 16, "lr": 1e-4},
+        })
+        seen = []
+
+        def train_fn(opt):
+            seen.append(opt.finetune.model.h1)
+            # prefer small h1 — check the study records and improves
+            return float(opt.finetune.model.h1)
+
+        study = run_hp_search(cfg, n_trials=6, backend="builtin",
+                              train_fn=train_fn,
+                              storage=str(tmp_path / "hp.sqlite"))
+        assert study.n_complete == 6
+        assert len(seen) == 6
+        assert study.best_trial[1] == min(seen)
