@@ -88,3 +88,24 @@ class BatchLoader:
                     lambda x: jax.device_put(x) if x is not None else None, batch
                 )
             yield batch
+
+    def prefetch(self, depth: int = 2) -> Iterator[HierGraphBatch]:
+        """Iterate with ``depth`` batches already enqueued on the device —
+        overlaps host padding/transfer with device compute (the role of
+        torch DataLoader workers + pinned memory in the reference)."""
+        import collections
+
+        queue: collections.deque = collections.deque()
+        it = iter(self)
+        try:
+            for _ in range(depth):
+                queue.append(next(it))
+        except StopIteration:
+            pass
+        while queue:
+            batch = queue.popleft()
+            try:
+                queue.append(next(it))
+            except StopIteration:
+                pass
+            yield batch

@@ -66,6 +66,17 @@ class HierGraphBatch:
     # optional task extras
     protein: Optional[np.ndarray] = None     # (G, seq_len) i32
     gene_expr: Optional[np.ndarray] = None   # (G, n_genes) f32
+    # optional ELL neighbor tables (ops/ell.py) — dense bounded-degree
+    # formulation; atom tables index the EXTENDED edge array where id E+i is
+    # atom i's self-loop
+    atom_nbr_edge: Optional[np.ndarray] = None  # (A, Ka) i32
+    atom_nbr_mask: Optional[np.ndarray] = None  # (A, Ka) f32
+    bg_nbr_edge: Optional[np.ndarray] = None    # (E, Kb) i32
+    bg_nbr_mask: Optional[np.ndarray] = None    # (E, Kb) f32
+    frag_nbr_edge: Optional[np.ndarray] = None  # (F, Kf) i32
+    frag_nbr_mask: Optional[np.ndarray] = None  # (F, Kf) f32
+    fc_nbr_edge: Optional[np.ndarray] = None    # (C, Kc) i32
+    fc_nbr_mask: Optional[np.ndarray] = None    # (C, Kc) f32
 
     @property
     def n_graphs(self) -> int:
@@ -100,6 +111,11 @@ class PadSpec:
     n_fconn: int
     n_bg_edges: int
     n_fc_edges: int
+    # ELL neighbor-table widths (None disables the dense formulation)
+    k_atom: Optional[int] = None
+    k_bg: Optional[int] = None
+    k_frag: Optional[int] = None
+    k_fc: Optional[int] = None
 
     def round_to(self, multiple: int = 8) -> "PadSpec":
         r = lambda x: ((x + multiple - 1) // multiple) * multiple
@@ -111,11 +127,19 @@ class PadSpec:
             r(self.n_fconn),
             r(self.n_bg_edges),
             r(self.n_fc_edges),
+            self.k_atom, self.k_bg, self.k_frag, self.k_fc,
         )
 
 
+def _max_indeg(dst_rows, n_nodes: int) -> int:
+    if len(dst_rows) == 0:
+        return 0
+    return int(np.bincount(np.asarray(dst_rows, dtype=np.int64),
+                           minlength=max(n_nodes, 1)).max())
+
+
 def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
-             multiple: int = 8) -> PadSpec:
+             multiple: int = 8, ell: bool = False) -> PadSpec:
     """Compute a PadSpec covering any window of ``batch_size`` graphs from the
     dataset: batch_size × the max per-molecule counts is always safe but
     wasteful; we use max over a sliding sum bound = batch_size * p95 + max,
@@ -131,6 +155,27 @@ def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
         est = int(batch_size * np.percentile(arr, 95) * slack + arr.max())
         return max(est, int(arr.max() * min(batch_size, len(arr))) if batch_size <= 2 else est)
 
+    ks = {}
+    if ell:
+        # NOTE: the ELL (dense neighbor-table) formulation is numerically
+        # identical but measured ~100x slower than the segment path on the
+        # axon TPU backend (its fusions miss the fast emitters there), so it
+        # is opt-in. Re-evaluate on other backends.
+        # per-level max in-degree across the dataset (+1 atom self-loop)
+        ks["k_atom"] = 1 + max(
+            _max_indeg(g.edge_index[1], g.n_atoms) for g in graphs
+        )
+        ks["k_bg"] = max(
+            _max_indeg(g.ei_bonds[0], g.n_edges) for g in graphs
+        )  # row 0 of ei_bonds is the aggregation target (see pad_batch)
+        ks["k_frag"] = max(
+            _max_indeg(g.frag_index[1], g.n_frags) for g in graphs
+        )
+        ks["k_fc"] = max(
+            _max_indeg(g.ei_fbonds[0], g.n_fconn) for g in graphs
+        )
+        ks = {k: max(v, 1) for k, v in ks.items()}
+
     return PadSpec(
         n_graphs=batch_size,
         n_atoms=cap(stats["n_atoms"]),
@@ -139,6 +184,7 @@ def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
         n_fconn=cap(stats["n_fconn"]),
         n_bg_edges=cap(stats["n_bg_edges"]),
         n_fc_edges=cap(stats["n_fc_edges"]),
+        **ks,
     ).round_to(multiple)
 
 
@@ -267,6 +313,28 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
         eb0 += neb
         ec0 += nec
 
+    ell_kw = {}
+    if spec.k_atom is not None:
+        from fragnet_tpu.ops.ell import build_ell_table
+
+        # atom tables index the EXTENDED edge array: real edge ids [0, E),
+        # then self-loop id E + i for atom slot i (matching the model's
+        # concatenation order, gat2.py:179-185)
+        ext_dst = np.concatenate([edge_dst, np.arange(A, dtype=np.int32)])
+        ext_mask = np.concatenate([edge_mask, np.ones((A,), np.float32)])
+        ell_kw["atom_nbr_edge"], ell_kw["atom_nbr_mask"] = build_ell_table(
+            ext_dst, A, spec.k_atom, edge_mask=ext_mask
+        )
+        ell_kw["bg_nbr_edge"], ell_kw["bg_nbr_mask"] = build_ell_table(
+            bg_dst, E, spec.k_bg, edge_mask=bg_mask
+        )
+        ell_kw["frag_nbr_edge"], ell_kw["frag_nbr_mask"] = build_ell_table(
+            frag_dst, F, spec.k_frag, edge_mask=fconn_mask
+        )
+        ell_kw["fc_nbr_edge"], ell_kw["fc_nbr_mask"] = build_ell_table(
+            fc_dst, C, spec.k_fc, edge_mask=fc_mask
+        )
+
     return HierGraphBatch(
         x_atoms=x_atoms, edge_src=edge_src, edge_dst=edge_dst,
         edge_attr=edge_attr, atom_mask=atom_mask, edge_mask=edge_mask,
@@ -278,5 +346,5 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
         atom_to_frag=atom_to_frag, atom_batch=atom_batch,
         frag_batch=frag_batch, y=y, graph_mask=graph_mask,
         bnd_lngth=bnd_lngth, bnd_angl=bnd_angl, dh_angl=dh_angl,
-        protein=protein, gene_expr=gene_expr,
+        protein=protein, gene_expr=gene_expr, **ell_kw,
     )

@@ -4,7 +4,7 @@ train/finetune/finetune_dta.py:64-106 (FragNetFineTuneBase, encoder-only)."""
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Any, List, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -27,6 +27,7 @@ class FragNetFineTuneBase(nn.Module):
     edge_features: int = 17
     fedge_in: int = 6
     fbond_edge_in: int = 6
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.pretrain = FragNet(
@@ -39,6 +40,7 @@ class FragNetFineTuneBase(nn.Module):
             fedge_in=self.fedge_in,
             fbond_edge_in=self.fbond_edge_in,
             num_heads=self.num_heads,
+            dtype=self.dtype,
         )
 
     def encode(self, batch, deterministic: bool = True,
@@ -82,6 +84,7 @@ class FragNetFineTune(nn.Module):
     act: str = "celu"
     emb_dim: int = 128
     fthead: str = "FTHead3"
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.pretrain = FragNet(
@@ -94,6 +97,7 @@ class FragNetFineTune(nn.Module):
             fedge_in=self.fedge_in,
             fbond_edge_in=self.fbond_edge_in,
             num_heads=self.num_heads,
+            dtype=self.dtype,
         )
         cls = FTHEADS[self.fthead]
         if self.fthead == "FTHead1":
@@ -133,7 +137,7 @@ class FragNetFineTune(nn.Module):
         x_frags_pooled = segment_sum(x_frags, batch.frag_batch, G, mask=batch.frag_mask)
         x_atoms_pooled = segment_sum(x_atoms, batch.atom_batch, G, mask=batch.atom_mask)
         cat = jnp.concatenate([x_atoms_pooled, x_frags_pooled], axis=1)
-        pred = self.head(cat, deterministic=deterministic)
+        pred = self.head(cat, deterministic=deterministic).astype(jnp.float32)
         if return_attentions:
             return pred, attn
         return pred

@@ -16,7 +16,7 @@ of the learned fconn line graph).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -34,6 +34,7 @@ class FragNet(nn.Module):
     fedge_in: int = 6
     fbond_edge_in: int = 6
     num_heads: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -58,6 +59,7 @@ class FragNet(nn.Module):
                 bond_edge_in=1,
                 fbond_edge_in=self.fbond_edge_in,
                 num_heads=self.num_heads,
+                dtype=self.dtype,
                 name=f"layers_{i}",
             )
             for i in range(self.num_layer)

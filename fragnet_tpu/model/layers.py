@@ -18,13 +18,14 @@ Parameter parity notes (for the torch-checkpoint importer):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
+from fragnet_tpu.ops.ell import ell_gat_pass
 from fragnet_tpu.ops.segment import gat_attention_pass, segment_sum
 
 # torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
@@ -78,7 +79,11 @@ class LayerAttn:
 
 
 class FragNetLayer(nn.Module):
-    """One four-level message-passing layer."""
+    """One four-level message-passing layer.
+
+    ``dtype`` sets the activation/compute precision (params stay fp32;
+    softmax logits are always fp32). bfloat16 halves HBM traffic on this
+    bandwidth-bound workload."""
 
     atom_in: int = 128
     atom_out: int = 128
@@ -88,6 +93,7 @@ class FragNetLayer(nn.Module):
     bond_edge_in: int = 1
     fbond_edge_in: int = 6
     num_heads: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -99,6 +105,14 @@ class FragNetLayer(nn.Module):
         hooks: Optional[LayerHooks] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, LayerAttn]:
         hooks = hooks or LayerHooks()
+        dt = self.dtype
+        x_atoms = x_atoms.astype(dt)
+        nf_bonds = nf_bonds.astype(dt)
+        nf_fbonds = nf_fbonds.astype(dt)
+        edge_mask = batch.edge_mask.astype(dt)
+        atom_mask = batch.atom_mask.astype(dt)
+        frag_mask = batch.frag_mask.astype(dt)
+        fconn_mask = batch.fconn_mask.astype(dt)
         H = self.num_heads
         edge_out_ph = self.edge_out // H
         atom_out_ph = self.atom_out // H
@@ -107,24 +121,32 @@ class FragNetLayer(nn.Module):
         C = nf_fbonds.shape[0]
 
         # ---- pass 1: bond-graph GAT (gat2.py:137-169) --------------------
-        ea_b = nn.Dense(edge_out_ph, kernel_init=torch_linear_init,
-                        name="edge_attr_bond_embed")(batch.ea_bonds)      # (EB, Dp)
-        ea_b = jnp.broadcast_to(ea_b[:, None, :], (ea_b.shape[0], H, edge_out_ph))
-        nf_b = nn.Dense(edge_out_ph * H, kernel_init=xavier_gain,
+        ea_b = nn.Dense(edge_out_ph, kernel_init=torch_linear_init, dtype=dt,
+                        name="edge_attr_bond_embed")(batch.ea_bonds.astype(dt))      # (EB, Dp)
+        nf_b = nn.Dense(edge_out_ph * H, kernel_init=xavier_gain, dtype=dt,
                         name="projection_b")(nf_bonds)
         nf_b = nf_b.reshape(E, H, edge_out_ph)
         a_b = self.param("a_b", xavier_gain, (H, 3 * edge_out_ph))
-        bond_out, attn_bonds = gat_attention_pass(
-            nf_b, ea_b, batch.bg_src, batch.bg_dst, a_b, E,
-            edge_mask=batch.bg_mask,
-        )
+        if batch.bg_nbr_edge is not None:
+            bond_out, attn_bonds = ell_gat_pass(
+                nf_b, ea_b, batch.bg_src, batch.bg_nbr_edge,
+                batch.bg_nbr_mask, a_b, num_src_nodes=E,
+            )
+        else:
+            ea_bh = jnp.broadcast_to(
+                ea_b[:, None, :], (ea_b.shape[0], H, edge_out_ph)
+            )
+            bond_out, attn_bonds = gat_attention_pass(
+                nf_b, ea_bh, batch.bg_src, batch.bg_dst, a_b, E,
+                edge_mask=batch.bg_mask,
+            )
         new_bond_features = bond_out.reshape(E, -1)
         new_bond_features = _zero_rows(
             new_bond_features,
             None if hooks.bond_mask is None
             else jnp.stack([hooks.bond_mask, hooks.bond_mask + 1]),
         )
-        new_bond_features = new_bond_features * batch.edge_mask[:, None]
+        new_bond_features = new_bond_features * edge_mask[:, None]
 
         # ---- pass 2: atom-graph GAT with self-loops (gat2.py:178-224) ----
         # self-loops appended after real edges, zero edge attrs (gat2.py:179-185)
@@ -136,21 +158,27 @@ class FragNetLayer(nn.Module):
         )
         e_mask = jnp.concatenate([batch.edge_mask, jnp.ones((A,), x_atoms.dtype)])
 
-        nf_a = nn.Dense(atom_out_ph * H, kernel_init=torch_linear_init,
+        nf_a = nn.Dense(atom_out_ph * H, kernel_init=torch_linear_init, dtype=dt,
                         name="projection_a")(x_atoms)
         nf_a = nf_a.reshape(A, H, atom_out_ph)
         a = self.param("a", xavier_gain, (H, 2 * atom_out_ph + self.edge_out))
-        e_attr_h = jnp.broadcast_to(
-            e_attr[:, None, :], (e_attr.shape[0], H, self.edge_out)
-        )
-        atom_out_feats, attn_atoms_full = gat_attention_pass(
-            nf_a, e_attr_h, src, dst, a, A, edge_mask=e_mask,
-        )
+        if batch.atom_nbr_edge is not None:
+            atom_out_feats, attn_atoms_full = ell_gat_pass(
+                nf_a, e_attr, src, batch.atom_nbr_edge,
+                batch.atom_nbr_mask, a, num_src_nodes=A,
+            )
+        else:
+            e_attr_h = jnp.broadcast_to(
+                e_attr[:, None, :], (e_attr.shape[0], H, self.edge_out)
+            )
+            atom_out_feats, attn_atoms_full = gat_attention_pass(
+                nf_a, e_attr_h, src, dst, a, A, edge_mask=e_mask,
+            )
         x_atoms_new = atom_out_feats.reshape(A, -1)
         x_atoms_new = _zero_rows(x_atoms_new, hooks.atom_mask)
         if hooks.atom_zero_vec is not None:
             x_atoms_new = x_atoms_new * (1.0 - hooks.atom_zero_vec)[:, None]
-        x_atoms_new = x_atoms_new * batch.atom_mask[:, None]
+        x_atoms_new = x_atoms_new * atom_mask[:, None]
 
         # ---- pass 3: atom → fragment pooling (gat2.py:234) ----------------
         # NOTE: incoming fragment state is recomputed from atoms every layer
@@ -159,39 +187,53 @@ class FragNetLayer(nn.Module):
         x_frags = segment_sum(x_atoms_new, batch.atom_to_frag, F)
 
         # ---- pass 4: fconn-graph GAT (gat2.py:238-278) --------------------
-        ea_fb = nn.Dense(edge_out_ph, kernel_init=torch_linear_init,
-                         name="edge_attr_fbond_embed")(batch.ea_fbonds)
-        ea_fb = jnp.broadcast_to(ea_fb[:, None, :], (ea_fb.shape[0], H, edge_out_ph))
-        nf_fb = nn.Dense(edge_out_ph * H, kernel_init=torch_linear_init,
+        ea_fb = nn.Dense(edge_out_ph, kernel_init=torch_linear_init, dtype=dt,
+                         name="edge_attr_fbond_embed")(batch.ea_fbonds.astype(dt))
+        nf_fb = nn.Dense(edge_out_ph * H, kernel_init=torch_linear_init, dtype=dt,
                          name="projection_fb")(nf_fbonds)
         nf_fb = nf_fb.reshape(C, H, edge_out_ph)
         f_a_b = self.param("f_a_b", xavier_gain, (H, 3 * edge_out_ph))
-        fbond_out, attn_fbonds = gat_attention_pass(
-            nf_fb, ea_fb, batch.fc_src, batch.fc_dst, f_a_b, C,
-            edge_mask=batch.fc_mask,
-        )
+        if batch.fc_nbr_edge is not None:
+            fbond_out, attn_fbonds = ell_gat_pass(
+                nf_fb, ea_fb, batch.fc_src, batch.fc_nbr_edge,
+                batch.fc_nbr_mask, f_a_b, num_src_nodes=C,
+            )
+        else:
+            ea_fbh = jnp.broadcast_to(
+                ea_fb[:, None, :], (ea_fb.shape[0], H, edge_out_ph)
+            )
+            fbond_out, attn_fbonds = gat_attention_pass(
+                nf_fb, ea_fbh, batch.fc_src, batch.fc_dst, f_a_b, C,
+                edge_mask=batch.fc_mask,
+            )
         new_fbond_features = fbond_out.reshape(C, -1)
         new_fbond_features = _zero_rows(
             new_fbond_features,
             None if hooks.frag_bond_mask is None
             else jnp.stack([2 * hooks.frag_bond_mask, 2 * hooks.frag_bond_mask + 1]),
         )
-        new_fbond_features = new_fbond_features * batch.fconn_mask[:, None]
+        new_fbond_features = new_fbond_features * fconn_mask[:, None]
 
         # ---- pass 5: frag-graph GAT (gat2.py:283-316) ---------------------
         # fragment node features enter per-head WITHOUT projection
         nf_f = x_frags.reshape(F, H, -1)
         f = self.param("f", xavier_gain, (H, 2 * (self.atom_out // H) + self.edge_out))
-        fb_attr_h = jnp.broadcast_to(
-            new_fbond_features[:, None, :],
-            (new_fbond_features.shape[0], H, self.edge_out),
-        )
-        frag_out, attn_frags = gat_attention_pass(
-            nf_f, fb_attr_h, batch.frag_src, batch.frag_dst, f, F,
-            edge_mask=batch.fconn_mask,
-        )
+        if batch.frag_nbr_edge is not None:
+            frag_out, attn_frags = ell_gat_pass(
+                nf_f, new_fbond_features, batch.frag_src,
+                batch.frag_nbr_edge, batch.frag_nbr_mask, f, num_src_nodes=F,
+            )
+        else:
+            fb_attr_h = jnp.broadcast_to(
+                new_fbond_features[:, None, :],
+                (new_fbond_features.shape[0], H, self.edge_out),
+            )
+            frag_out, attn_frags = gat_attention_pass(
+                nf_f, fb_attr_h, batch.frag_src, batch.frag_dst, f, F,
+                edge_mask=batch.fconn_mask,
+            )
         x_frags_new = frag_out.reshape(F, -1)
-        x_frags_new = x_frags_new * batch.frag_mask[:, None]
+        x_frags_new = x_frags_new * frag_mask[:, None]
 
         attn = LayerAttn(
             atoms=attn_atoms_full[:, :],  # includes self-loop contributions

@@ -21,6 +21,33 @@ import jax.numpy as jnp
 _NEG_BIG = -1e9
 
 
+@jax.custom_vjp
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` with a fast backward.
+
+    XLA derives the adjoint of a gather as a scatter-add with out-of-bounds
+    guards that misses the fast scatter emitter on some TPU backends
+    (measured 13.6 ms vs 0.04 ms for the equivalent segment_sum at 193k
+    rows, plus a 69 s compile). This wrapper makes the backward an explicit
+    segment_sum."""
+    return table[idx]
+
+
+def _take_rows_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _take_rows_bwd(res, ct):
+    idx, n_rows = res
+    flat_idx = idx.reshape(-1)
+    flat_ct = ct.reshape((-1,) + ct.shape[idx.ndim:])
+    dtable = jax.ops.segment_sum(flat_ct, flat_idx, num_segments=n_rows)
+    return dtable.astype(ct.dtype), None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Sum ``data`` rows into ``num_segments`` buckets. ``mask`` (same leading
@@ -83,13 +110,17 @@ def gat_attention_pass(
 
     Returns (aggregated (N, H, D), summed_attn (N, H)).
     """
-    h_src = node_feats_h[src]            # (E, H, D)
-    h_dst = node_feats_h[dst]            # (E, H, D)
+    h_src = take_rows(node_feats_h, src)  # (E, H, D)
+    h_dst = take_rows(node_feats_h, dst)  # (E, H, D)
     msg = jnp.concatenate([h_dst, edge_attr_h, h_src], axis=-1)
-    logits = jnp.sum(msg * attn_vec[None, :, :], axis=-1)  # (E, H)
+    # logits in fp32 for softmax stability even when activations are bf16
+    logits = jnp.sum(
+        msg.astype(jnp.float32) * attn_vec[None, :, :].astype(jnp.float32),
+        axis=-1,
+    )  # (E, H)
     logits = jax.nn.leaky_relu(logits, negative_slope)
     probs = segment_softmax(logits, dst, num_nodes, mask=edge_mask)
-    weighted = probs[..., None] * h_src
+    weighted = probs.astype(h_src.dtype)[..., None] * h_src
     out = jax.ops.segment_sum(weighted, dst, num_segments=num_nodes)
     attn_by_src = jax.ops.segment_sum(probs, src, num_segments=num_nodes)
     return out, attn_by_src

@@ -30,7 +30,15 @@ class EarlyStopping:
         score = -float(val_loss)
         if self.best_score is None or score > self.best_score + self.delta:
             self.best_score = score
-            self.best_params = params
+            # snapshot to host: train steps donate their TrainState, so the
+            # device buffers behind ``params`` are invalidated by the next
+            # step — keeping a live reference would fail later
+            try:
+                import jax
+
+                self.best_params = jax.device_get(params)
+            except ImportError:  # pure-python tests
+                self.best_params = params
             self.counter = 0
             if self.path and self.save_fn:
                 self.save_fn(params, self.path)

@@ -65,8 +65,15 @@ def make_train_step(model, tx: optax.GradientTransformation,
                     loss_name: str = "mse") -> Callable:
     loss_fn = LOSSES[loss_name]
 
-    @jax.jit
-    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, jnp.ndarray]:
+    # donate the TrainState: params/opt_state buffers are overwritten in
+    # place, halving HBM traffic for the update.
+    # rng derivation happens INSIDE the step (fold_in on the step counter):
+    # a host-side jax.random.split per step is a device round trip, which on
+    # a tunneled TPU costs more than the step itself.
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state: TrainState, batch, base_rng) -> Tuple[TrainState, jnp.ndarray]:
+        rng = jax.random.fold_in(base_rng, state.step)
+
         def loss(params):
             out = model.apply(params, batch, deterministic=False,
                               rngs={"dropout": rng})
@@ -142,11 +149,14 @@ class TrainerFineTune:
 
     def train_epoch(self, state: TrainState, batches: Iterable, rng) -> Tuple[TrainState, float]:
         total, n = 0.0, 0
-        for batch in batches:
-            rng, sub = jax.random.split(rng)
-            state, l = self._train_step(state, batch, sub)
-            total += float(l)
+        it = batches.prefetch() if hasattr(batches, "prefetch") else batches
+        losses = []
+        for batch in it:
+            # per-step randomness is derived inside the step from state.step
+            state, l = self._train_step(state, batch, rng)
+            losses.append(l)  # don't sync the device inside the loop
             n += 1
+        total = sum(float(l) for l in losses)
         return state, total / max(n, 1)
 
     def validate(self, params, batches: Iterable) -> float:

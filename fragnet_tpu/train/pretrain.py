@@ -51,8 +51,10 @@ def pretrain_loss(preds, batch, compat_loss_overwrite: bool = False) -> jnp.ndar
 
 def make_pretrain_step(model, tx: optax.GradientTransformation,
                        compat_loss_overwrite: bool = False) -> Callable:
-    @jax.jit
-    def step(state: TrainState, batch, rng) -> Tuple[TrainState, jnp.ndarray]:
+    @partial(jax.jit, donate_argnums=0)
+    def step(state: TrainState, batch, base_rng) -> Tuple[TrainState, jnp.ndarray]:
+        rng = jax.random.fold_in(base_rng, state.step)
+
         def loss(params):
             preds = model.apply(params, batch, deterministic=False,
                                 rngs={"dropout": rng, "mask": rng})
@@ -86,13 +88,14 @@ class PretrainTrainer:
         self._eval = make_pretrain_eval(model, compat_loss_overwrite)
 
     def train_epoch(self, state: TrainState, batches: Iterable, rng):
-        total, n = 0.0, 0
-        for batch in batches:
-            rng, sub = jax.random.split(rng)
-            state, l = self._step(state, batch, sub)
-            total += float(l)
+        n = 0
+        losses = []
+        it = batches.prefetch() if hasattr(batches, "prefetch") else batches
+        for batch in it:
+            state, l = self._step(state, batch, rng)
+            losses.append(l)
             n += 1
-        return state, total / max(n, 1)
+        return state, sum(float(l) for l in losses) / max(n, 1)
 
     def validate(self, params, batches: Iterable) -> float:
         total, n = 0.0, 0

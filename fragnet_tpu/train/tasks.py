@@ -30,8 +30,12 @@ def make_standardized_steps(model, tx, label_mean: float, label_sdev: float):
     mean = jnp.float32(label_mean)
     sdev = jnp.float32(label_sdev) + 1e-5
 
-    @jax.jit
-    def train_step(state: TrainState, batch, rng):
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state: TrainState, batch, base_rng):
+        rng = jax.random.fold_in(base_rng, state.step)
+
         def loss(params):
             out = model.apply(params, batch, deterministic=False,
                               rngs={"dropout": rng})[:, 0]
@@ -66,13 +70,14 @@ class TrainerTask:
         )
 
     def train_epoch(self, state, batches: Iterable, rng):
-        total, n = 0.0, 0
-        for batch in batches:
-            rng, sub = jax.random.split(rng)
-            state, l = self._step(state, batch, sub)
-            total += float(l)
+        n = 0
+        losses = []
+        it = batches.prefetch() if hasattr(batches, "prefetch") else batches
+        for batch in it:
+            state, l = self._step(state, batch, rng)
+            losses.append(l)
             n += 1
-        return state, total / max(n, 1)
+        return state, sum(float(l) for l in losses) / max(n, 1)
 
     def evaluate(self, params, batches: Iterable) -> Tuple[float, np.ndarray, np.ndarray]:
         ys, ps = [], []

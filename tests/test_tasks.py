@@ -120,7 +120,8 @@ class TestStandardizedTrainer:
         trainer = TrainerTask(model, tx, float(ys.mean()), float(ys.std()))
         state = TrainState.create(params, tx)
         rng = jax.random.PRNGKey(1)
-        _, l0 = trainer.train_epoch(state, [batch], rng)
+        # train steps donate their TrainState — always use the returned one
+        state, l0 = trainer.train_epoch(state, [batch], rng)
         for _ in range(10):
             state, l = trainer.train_epoch(state, [batch], rng)
         assert l < l0
