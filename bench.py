@@ -44,11 +44,13 @@ def main() -> None:
     batch_size = int(os.environ.get("BENCH_BATCH", 256))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" \
         else jnp.float32
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" \
+        and jax.default_backend() == "tpu"
     num_layers = 4
 
     df = synthetic_dataset(n=n_mols, task="regression", seed=7)
     graphs = build_graphs(list(df["smiles"]), [[v] for v in df["y"]])
-    spec = spec_for(graphs, batch_size=batch_size)
+    spec = spec_for(graphs, batch_size=batch_size, tcsr=use_pallas)
 
     model = FragNetFineTune(num_layer=num_layers, num_heads=4, emb_dim=128,
                             h1=128, h2=1024, h3=1024, h4=512, act="relu",
@@ -74,9 +76,13 @@ def main() -> None:
 
     edges_per_batch = [real_edges(b) for b in device_batches]
 
-    # compile
-    state, _ = step(state, device_batches[0], rng)
-    jax.block_until_ready(state.params)
+    # compile + force the tunnel into synchronous dispatch (a d2h read).
+    # NOTE: on the tunneled TPU backend block_until_ready can return before
+    # the queued work actually finishes; fetching a scalar result is the only
+    # honest completion barrier, so every timed region below ends with a
+    # float() of the last step's loss.
+    state, loss = step(state, device_batches[0], rng)
+    _ = float(loss)
 
     # --- device-resident steady state (primary) ------------------------
     # NOTE: no host-side rng work inside the loop — the step folds its own
@@ -89,7 +95,7 @@ def main() -> None:
         b = device_batches[i % len(device_batches)]
         state, loss = step(state, b, rng)
         total_edges += edges_per_batch[i % len(device_batches)]
-    jax.block_until_ready(state.params)
+    _ = float(loss)
     device_eps = total_edges / (time.perf_counter() - t0)
 
     # --- end-to-end pipeline (host pad+transfer overlapped) -------------
@@ -101,7 +107,7 @@ def main() -> None:
             state, loss = step(state, b, rng)
             pipe_edges += edges_per_batch[i % len(edges_per_batch)]
             n_pipe += 1
-    jax.block_until_ready(state.params)
+    _ = float(loss)
     pipeline_eps = pipe_edges / (time.perf_counter() - t0)
 
     baseline = None

@@ -94,7 +94,16 @@ class MolGraph:
 
 def _line_graph_edges(edge_endpoints: List[Tuple[int, int]]) -> Tuple[List[int], List[int]]:
     """Pairs of directed edges sharing exactly ONE atom, in the reference's
-    i-major / j-ascending order (data.py:116-128) but O(E·deg)."""
+    i-major / j-ascending order (data.py:116-128) but O(E·deg). Uses the C++
+    native kernel (fragnet_tpu/native) when available."""
+    if edge_endpoints:
+        from fragnet_tpu import native
+
+        src = np.fromiter((u for u, _ in edge_endpoints), np.int32)
+        dst = np.fromiter((v for _, v in edge_endpoints), np.int32)
+        out = native.line_graph(src, dst, int(max(src.max(), dst.max())) + 1)
+        if out is not None:
+            return out[0].tolist(), out[1].tolist()
     incident: Dict[int, List[int]] = {}
     for e, (u, v) in enumerate(edge_endpoints):
         incident.setdefault(u, []).append(e)

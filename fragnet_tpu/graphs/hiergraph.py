@@ -77,6 +77,11 @@ class HierGraphBatch:
     frag_nbr_mask: Optional[np.ndarray] = None  # (F, Kf) f32
     fc_nbr_edge: Optional[np.ndarray] = None    # (C, Kc) i32
     fc_nbr_mask: Optional[np.ndarray] = None    # (C, Kc) f32
+    # optional TCSR tile metadata (ops/tcsr.py) for the fused Pallas kernel
+    tm_atom: Optional[object] = None
+    tm_bond: Optional[object] = None
+    tm_frag: Optional[object] = None
+    tm_fc: Optional[object] = None
 
     @property
     def n_graphs(self) -> int:
@@ -116,18 +121,30 @@ class PadSpec:
     k_bg: Optional[int] = None
     k_frag: Optional[int] = None
     k_fc: Optional[int] = None
+    # TCSR tiling for the fused Pallas kernel (ops/pallas_gat.py): tile sizes
+    # plus pinned (n_chunks, k_src) per level so every batch compiles to the
+    # same kernel. None disables the Pallas path.
+    tn: int = 256
+    te: int = 256
+    tc_atom: Optional[tuple] = None
+    tc_bond: Optional[tuple] = None
+    tc_frag: Optional[tuple] = None
+    tc_fc: Optional[tuple] = None
+
+    @property
+    def tcsr(self) -> bool:
+        return self.tc_atom is not None
 
     def round_to(self, multiple: int = 8) -> "PadSpec":
         r = lambda x: ((x + multiple - 1) // multiple) * multiple
-        return PadSpec(
-            self.n_graphs,
-            r(self.n_atoms),
-            r(self.n_edges),
-            r(self.n_frags),
-            r(self.n_fconn),
-            r(self.n_bg_edges),
-            r(self.n_fc_edges),
-            self.k_atom, self.k_bg, self.k_frag, self.k_fc,
+        return dataclasses.replace(
+            self,
+            n_atoms=r(self.n_atoms),
+            n_edges=r(self.n_edges),
+            n_frags=r(self.n_frags),
+            n_fconn=r(self.n_fconn),
+            n_bg_edges=r(self.n_bg_edges),
+            n_fc_edges=r(self.n_fc_edges),
         )
 
 
@@ -139,7 +156,8 @@ def _max_indeg(dst_rows, n_nodes: int) -> int:
 
 
 def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
-             multiple: int = 8, ell: bool = False) -> PadSpec:
+             multiple: int = 8, ell: bool = False,
+             tcsr: bool = False, tn: int = 256, te: int = 256) -> PadSpec:
     """Compute a PadSpec covering any window of ``batch_size`` graphs from the
     dataset: batch_size × the max per-molecule counts is always safe but
     wasteful; we use max over a sliding sum bound = batch_size * p95 + max,
@@ -176,7 +194,7 @@ def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
         )
         ks = {k: max(v, 1) for k, v in ks.items()}
 
-    return PadSpec(
+    spec = PadSpec(
         n_graphs=batch_size,
         n_atoms=cap(stats["n_atoms"]),
         n_edges=cap(stats["n_edges"]),
@@ -184,8 +202,58 @@ def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
         n_fconn=cap(stats["n_fconn"]),
         n_bg_edges=cap(stats["n_bg_edges"]),
         n_fc_edges=cap(stats["n_fc_edges"]),
+        tn=tn, te=te,
         **ks,
-    ).round_to(multiple)
+    ).round_to(max(multiple, tn, te) if tcsr else multiple)
+    if not tcsr:
+        return spec
+    return _pin_tcsr(spec, graphs, batch_size)
+
+
+def _pin_tcsr(spec: PadSpec, graphs: Sequence, batch_size: int,
+              n_probe: int = 8) -> PadSpec:
+    """Measure the per-level TCSR window widths over a few probe batches and
+    pin them (with one chunk of slack) so every batch compiles identically."""
+    from fragnet_tpu.ops.tcsr import build_tile_meta
+
+    maxes = {"atom": [1, 1], "bond": [1, 1], "frag": [1, 1], "fc": [1, 1]}
+    i = 0
+    probes = 0
+    while i < len(graphs) and probes < n_probe:
+        win: list = []
+        while i < len(graphs) and len(win) < batch_size \
+                and fits(win + [graphs[i]], spec):
+            win.append(graphs[i])
+            i += 1
+        if not win:
+            i += 1
+            continue
+        b = pad_batch(win, spec)
+        probes += 1
+        for name, (s, d, m, n) in {
+            "atom": (b.edge_src, b.edge_dst, b.edge_mask, spec.n_atoms),
+            "bond": (b.bg_src, b.bg_dst, b.bg_mask, spec.n_edges),
+            "frag": (b.frag_src, b.frag_dst, b.fconn_mask, spec.n_frags),
+            "fc": (b.fc_src, b.fc_dst, b.fc_mask, spec.n_fconn),
+        }.items():
+            tm = build_tile_meta(s, d, m, n, tn=spec.tn, te=spec.te)
+            if tm is None:
+                return spec  # locality violated — leave the Pallas path off
+            maxes[name][0] = max(maxes[name][0], tm.n_chunks)
+            maxes[name][1] = max(maxes[name][1], tm.k_src)
+
+    def pin(name, n_nodes, n_edges):
+        c = min(maxes[name][0] + 1, n_edges // spec.te)
+        k = min(maxes[name][1], n_nodes // spec.tn)
+        return (c, k)
+
+    return dataclasses.replace(
+        spec,
+        tc_atom=pin("atom", spec.n_atoms, spec.n_edges),
+        tc_bond=pin("bond", spec.n_edges, spec.n_bg_edges),
+        tc_frag=pin("frag", spec.n_frags, spec.n_fconn),
+        tc_fc=pin("fc", spec.n_fconn, spec.n_fc_edges),
+    )
 
 
 def fits(graphs: Sequence, spec: PadSpec) -> bool:
@@ -313,6 +381,25 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
         eb0 += neb
         ec0 += nec
 
+    tcsr_kw = {}
+    if spec.tcsr:
+        from fragnet_tpu.ops.tcsr import build_tile_meta
+
+        tcsr_kw["tm_atom"] = build_tile_meta(
+            edge_src, edge_dst, edge_mask, A, tn=spec.tn, te=spec.te,
+            n_chunks=spec.tc_atom[0], k_src=spec.tc_atom[1])
+        tcsr_kw["tm_bond"] = build_tile_meta(
+            bg_src, bg_dst, bg_mask, E, tn=spec.tn, te=spec.te,
+            n_chunks=spec.tc_bond[0], k_src=spec.tc_bond[1])
+        tcsr_kw["tm_frag"] = build_tile_meta(
+            frag_src, frag_dst, fconn_mask, F, tn=spec.tn, te=spec.te,
+            n_chunks=spec.tc_frag[0], k_src=spec.tc_frag[1])
+        tcsr_kw["tm_fc"] = build_tile_meta(
+            fc_src, fc_dst, fc_mask, C, tn=spec.tn, te=spec.te,
+            n_chunks=spec.tc_fc[0], k_src=spec.tc_fc[1])
+        if any(v is None for v in tcsr_kw.values()):
+            tcsr_kw = {}  # batch exceeds pinned windows — XLA fallback
+
     ell_kw = {}
     if spec.k_atom is not None:
         from fragnet_tpu.ops.ell import build_ell_table
@@ -346,5 +433,5 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
         atom_to_frag=atom_to_frag, atom_batch=atom_batch,
         frag_batch=frag_batch, y=y, graph_mask=graph_mask,
         bnd_lngth=bnd_lngth, bnd_angl=bnd_angl, dh_angl=dh_angl,
-        protein=protein, gene_expr=gene_expr, **ell_kw,
+        protein=protein, gene_expr=gene_expr, **ell_kw, **tcsr_kw,
     )

@@ -1,0 +1,546 @@
+"""Fused Pallas GAT attention pass — the TPU-native hot kernel.
+
+Replaces the XLA segment-op chain of ``ops/segment.py:gat_attention_pass``
+(itself the re-design of torch-scatter ``scatter_softmax`` + ``scatter_add``,
+reference gat2.py:137-169) with ONE fused kernel per level:
+
+    gather h_src → SDDMM logits → online segment softmax → SpMM aggregate
+
+XLA lowers the segment ops to serialized HBM scatters (~18 ms for the bond
+line graph of a 256-molecule batch); this kernel keeps every access a
+contiguous VMEM window and every irregular gather/scatter a one-hot MXU
+matmul, using the TCSR layout of ``ops/tcsr.py``:
+
+  * grid = (n_tiles, n_chunks): destination-node tiles × edge-window chunks;
+  * per tile, all incoming edges live in a contiguous edge window and all
+    their sources in a contiguous node window (molecule locality);
+  * softmax is computed online (flash-attention style): running max m,
+    denominator and numerator are rescaled per chunk;
+  * self-loops (the atom pass appends one per atom with zero edge attrs,
+    gat2.py:179-185) are folded in analytically at chunk 0 — they are never
+    materialized as edges;
+  * the backward pass re-computes logits per chunk and emits (a) node-space
+    partials per tile (disjoint blocks), (b) per-edge d_logits in *tiled*
+    space, which the XLA epilogue turns into per-edge gradients with a
+    GATHER via ``TileMeta.flat_slot`` — no XLA scatter anywhere.
+
+Numerics: probabilities in fp32; one-hot matmuls touching fp32 operands run
+at Precision.HIGHEST, bf16 activations use the fast MXU path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fragnet_tpu.ops.tcsr import TileMeta
+
+_NEG = -1e30
+_HI = jax.lax.Precision.HIGHEST
+
+# Flip to True (tests do) to run the kernels in interpreter mode on CPU.
+INTERPRET = False
+
+
+def _leaky(x, slope):
+    return jnp.where(x > 0, x, slope * x)
+
+
+def _hsum(x, H, D):
+    """(R, H*D) → (R, H): sum over each head's D-block via an MXU matmul with
+    a block-indicator matrix (avoids 3D reshapes in Mosaic)."""
+    HD = H * D
+    rows = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) // D
+    cols = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
+    B = (rows == cols).astype(jnp.float32)
+    return jax.lax.dot_general(x.astype(jnp.float32), B,
+                               (((1,), (0,)), ((), ())), precision=_HI)
+
+
+def _hrep(x, D):
+    """(R, H) → (R, H*D): broadcast each head value across its D lanes
+    (indicator-matrix matmul at HIGHEST — Mosaic-safe, ~fp32 exact)."""
+    H = x.shape[1]
+    HD = H * D
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // D
+    Bt = (rows == cols).astype(jnp.float32)
+    return jax.lax.dot_general(x.astype(jnp.float32), Bt,
+                               (((1,), (0,)), ((), ())), precision=_HI)
+
+
+def _gather_rows(oh, tbl):
+    """Row-select via one-hot matmul: (R, N)·(N, H) → (R, H), HIGHEST."""
+    return jax.lax.dot_general(oh, tbl, (((1,), (0,)), ((), ())),
+                               precision=_HI)
+
+
+def _scatter_rows(oh, vals):
+    """Transpose-scatter via dot_general: Σ_r oh[r,n]·vals[r,h] → (N, H)."""
+    return jax.lax.dot_general(oh, vals, (((0,), (0,)), ((), ())),
+                               precision=_HI)
+
+
+def _seg_max(oh_b, z, H, te, width):
+    """Per-column masked max: (Te, width) one-hot bool × (Te, H) values →
+    (width, H). Uses per-head 2D slices (no 3D broadcasts in Mosaic)."""
+    cols = []
+    for h in range(H):
+        z_h = jax.lax.slice(z, (0, h), (te, h + 1))        # (Te, 1)
+        m_h = jnp.max(jnp.where(oh_b, z_h, _NEG), axis=0, keepdims=True)
+        cols.append(m_h)                                    # (1, width)
+    return jnp.transpose(jnp.concatenate(cols, axis=0))     # (width, H)
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
+                self_loops, slope, big_prec):
+    (wn_dst_ref, *rest) = refs
+    wn_win_refs = rest[:k]
+    nf_dst_ref = rest[k]
+    nf_win_refs = rest[k + 1 : 2 * k + 1]
+    w_ea_ref, src_ref, dst_ref, emask_ref = rest[2 * k + 1 : 2 * k + 5]
+    out_ref, m_ref, den_ref = rest[2 * k + 5 : 2 * k + 8]
+    acc_num, acc_m, acc_den = rest[2 * k + 8 :]
+
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    HD = H * D
+    f32 = jnp.float32
+
+    wn_dst = wn_dst_ref[:]                      # (Tn, 2H) f32
+    w_dst_tile = wn_dst[:, :H]
+
+    @pl.when(c == 0)
+    def _init():
+        if self_loops:
+            z_self = _leaky(w_dst_tile + wn_dst[:, H:], slope)
+            acc_m[:] = z_self
+            acc_den[:] = jnp.ones((tn, H), f32)
+            acc_num[:] = nf_dst_ref[:].astype(f32)
+        else:
+            acc_m[:] = jnp.full((tn, H), _NEG, f32)
+            acc_den[:] = jnp.zeros((tn, H), f32)
+            acc_num[:] = jnp.zeros((tn, HD), f32)
+
+    wn_win = jnp.concatenate([r[:] for r in wn_win_refs], axis=0)  # (K*Tn, 2H)
+    nf_win = jnp.concatenate([r[:] for r in nf_win_refs], axis=0)  # (K*Tn, HD)
+
+    dst_l = dst_ref[:] - t * tn                  # (Te, 1) i32
+    src_l = src_ref[:] - sw_ref[t] * tn
+    keep = (dst_l >= 0) & (dst_l < tn) & (emask_ref[:] > 0)
+    oh_dst_b = (dst_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)) & keep
+    oh_src_b = (src_l == jax.lax.broadcasted_iota(jnp.int32, (te, k * tn), 1)) & keep
+    oh_dst = oh_dst_b.astype(f32)
+    keep_f = keep.astype(f32)
+
+    z = (
+        jax.lax.dot_general(oh_dst, w_dst_tile, (((1,), (0,)), ((), ())),
+                            precision=_HI)
+        + jax.lax.dot_general(oh_src_b.astype(f32), wn_win[:, H:],
+                              (((1,), (0,)), ((), ())), precision=_HI)
+        + w_ea_ref[:]
+    )
+    z = _leaky(z, slope)
+    z = jnp.where(keep, z, _NEG)                 # (Te, H)
+
+    # per-tile-node max of this chunk
+    cmax = _seg_max(oh_dst_b, z, H, te, tn)      # (Tn, H)
+
+    m_new = jnp.maximum(acc_m[:], cmax)
+    scale = jnp.exp(acc_m[:] - m_new)
+    acc_den[:] = acc_den[:] * scale
+    acc_num[:] = acc_num[:] * _hrep(scale, D)
+
+    m_e = _gather_rows(oh_dst, m_new)            # (Te, H) exact
+    p = jnp.exp(z - m_e) * keep_f                # (Te, H) f32
+    acc_den[:] = acc_den[:] + _scatter_rows(oh_dst, p)
+
+    nfdt = nf_win.dtype
+    h_src = jax.lax.dot_general(
+        oh_src_b.astype(nfdt), nf_win, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=big_prec,
+    )                                            # (Te, HD) f32
+    weighted = h_src * _hrep(p, D)
+    acc_num[:] = acc_num[:] + jax.lax.dot_general(
+        oh_dst, weighted, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=big_prec,
+    )
+    acc_m[:] = m_new
+
+    @pl.when(c == n_chunks - 1)
+    def _fin():
+        den = acc_den[:]
+        den_g = jnp.where(den == 0.0, 1.0, den)
+        out_ref[:] = acc_num[:] / _hrep(den_g, D)
+        m_ref[:] = acc_m[:]
+        den_ref[:] = den
+
+
+# --------------------------------------------------------------------------
+# backward kernel
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
+                self_loops, slope, big_prec):
+    (wn_dst_ref, *rest) = refs
+    wn_win_refs = rest[:k]
+    nf_dst_ref = rest[k]
+    nf_win_refs = rest[k + 1 : 2 * k + 1]
+    (w_ea_ref, src_ref, dst_ref, emask_ref, m_tile_ref, den_tile_ref,
+     gout_ref, s_ref, a_src_ref) = rest[2 * k + 1 : 2 * k + 10]
+    (d_wdst_ref, d_wself_ref, d_nfdst_ref, d_z_ref, d_nfwin_ref,
+     d_asrc_ref) = rest[2 * k + 10 : 2 * k + 16]
+    acc_dwdst, acc_dnfw, acc_dasrc = rest[2 * k + 16 :]
+
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    HD = H * D
+    f32 = jnp.float32
+
+    wn_dst = wn_dst_ref[:]
+    m_tile = m_tile_ref[:]
+    den_g = jnp.where(den_tile_ref[:] == 0.0, 1.0, den_tile_ref[:])
+    gout_t = gout_ref[:]                          # (Tn, HD) f32
+    s_tile = s_ref[:]                             # (Tn, H) f32
+
+    @pl.when(c == 0)
+    def _init():
+        acc_dwdst[:] = jnp.zeros((tn, H), f32)
+        acc_dnfw[:] = jnp.zeros((k * tn, HD), f32)
+        if self_loops:
+            z_pre = wn_dst[:, :H] + wn_dst[:, H:]
+            logit = _leaky(z_pre, slope)
+            p_self = jnp.exp(logit - m_tile) / den_g          # (Tn, H)
+            nf_t = nf_dst_ref[:].astype(f32)
+            d_p = _hsum(gout_t * nf_t, H, D)
+            d_logit = p_self * (d_p - s_tile)
+            d_zpre = d_logit * jnp.where(z_pre > 0, 1.0, slope)
+            d_wself_ref[:] = d_zpre
+            d_nfdst_ref[:] = gout_t * _hrep(p_self, D)
+        else:
+            d_wself_ref[:] = jnp.zeros((tn, H), f32)
+            d_nfdst_ref[:] = jnp.zeros((tn, HD), f32)
+
+    @pl.when(jnp.logical_and(t == 0, c == 0))
+    def _init_asrc():
+        acc_dasrc[:] = jnp.zeros((8, max(H * D, 128)), f32)
+
+    wn_win = jnp.concatenate([r[:] for r in wn_win_refs], axis=0)
+    nf_win = jnp.concatenate([r[:] for r in nf_win_refs], axis=0)
+
+    dst_l = dst_ref[:] - t * tn
+    src_l = src_ref[:] - sw_ref[t] * tn
+    keep = (dst_l >= 0) & (dst_l < tn) & (emask_ref[:] > 0)
+    oh_dst_b = (dst_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)) & keep
+    oh_src_b = (src_l == jax.lax.broadcasted_iota(jnp.int32, (te, k * tn), 1)) & keep
+    oh_dst = oh_dst_b.astype(f32)
+    keep_f = keep.astype(f32)
+
+    z_pre = (
+        jax.lax.dot_general(oh_dst, wn_dst[:, :H], (((1,), (0,)), ((), ())),
+                            precision=_HI)
+        + jax.lax.dot_general(oh_src_b.astype(f32), wn_win[:, H:],
+                              (((1,), (0,)), ((), ())), precision=_HI)
+        + w_ea_ref[:]
+    )
+    logit = jnp.where(keep, _leaky(z_pre, slope), _NEG)
+    m_e = _gather_rows(oh_dst, m_tile)
+    den_e = _gather_rows(oh_dst, den_g)
+    den_e = jnp.where(den_e == 0.0, 1.0, den_e)
+    p = jnp.exp(logit - m_e) / den_e * keep_f     # (Te, H)
+
+    nfdt = nf_win.dtype
+    h_src = jax.lax.dot_general(
+        oh_src_b.astype(nfdt), nf_win, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=big_prec,
+    )
+    gout_e = jax.lax.dot_general(
+        oh_dst, gout_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=big_prec,
+    )                                             # (Te, HD)
+    d_p = _hsum(gout_e * h_src, H, D)             # (Te, H)
+    s_e = _gather_rows(oh_dst, s_tile)
+    d_logit = p * (d_p - s_e)
+    d_zpre = d_logit * jnp.where(z_pre > 0, 1.0, slope) * keep_f
+
+    d_z_ref[0] = d_zpre
+    acc_dwdst[:] = acc_dwdst[:] + _scatter_rows(oh_dst, d_zpre)
+
+    # d_h_src = p ⊗ g_out[dst]  +  d_zpre ⊗ a_src   (per edge, per head)
+    # a_src arrives pre-flattened: row 0 of a_src_ref is (1, HD) head-major
+    a_flat = jax.lax.slice(a_src_ref[:].astype(f32), (0, 0), (1, HD))
+    d_hsrc = gout_e * _hrep(p, D) + _hrep(d_zpre, D) * jnp.broadcast_to(
+        a_flat, (te, HD)
+    )
+    acc_dnfw[:] = acc_dnfw[:] + jax.lax.dot_general(
+        oh_src_b.astype(f32), d_hsrc, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=big_prec,
+    )
+    # d_a_src += Σ_e d_zpre[e,h] · h_src[e,h,:] — accumulated flat: row 0 of
+    # the (8, ≥HD) accumulator holds the (1, HD) head-major vector
+    prod = _hrep(d_zpre, D) * h_src               # (Te, HD)
+    flat = jnp.sum(prod, axis=0, keepdims=True)   # (1, HD)
+    pad_w = acc_dasrc.shape[1]
+    if pad_w > HD:
+        flat = jnp.concatenate([flat, jnp.zeros((1, pad_w - HD), f32)], axis=1)
+    upd = jnp.concatenate(
+        [flat, jnp.zeros((7, pad_w), f32)], axis=0)
+    acc_dasrc[:] = acc_dasrc[:] + upd
+
+    @pl.when(c == n_chunks - 1)
+    def _fin():
+        d_wdst_ref[:] = acc_dwdst[:]
+        d_nfwin_ref[0] = acc_dnfw[:]
+
+    @pl.when(jnp.logical_and(t == pl.num_programs(0) - 1, c == n_chunks - 1))
+    def _fin_asrc():
+        d_asrc_ref[:] = acc_dasrc[:]
+
+
+# --------------------------------------------------------------------------
+# pallas_call builders + custom VJP
+# --------------------------------------------------------------------------
+
+def _node_specs(k, tn, width):
+    """BlockSpecs for a node-space array: dst tile + k source-window tiles."""
+    dst = pl.BlockSpec((tn, width), lambda t, c, ew, sw: (t, 0))
+    wins = [
+        pl.BlockSpec((tn, width),
+                     functools.partial(lambda kk, t, c, ew, sw: (sw[t] + kk, 0), kk))
+        for kk in range(k)
+    ]
+    return [dst] + wins
+
+
+def _edge_spec(te, width):
+    return pl.BlockSpec((te, width), lambda t, c, ew, sw: (ew[t] + c, 0))
+
+
+def _tile_spec(tn, width):
+    return pl.BlockSpec((tn, width), lambda t, c, ew, sw: (t, 0))
+
+
+@functools.lru_cache(maxsize=64)
+def _build(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
+           interpret):
+    dt = jnp.dtype(dt_name)
+    big_prec = _HI if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    HD = H * D
+    n_tiles = N // tn
+    grid = (n_tiles, n_chunks)
+    kparams = dict(tn=tn, te=te, k=k, n_chunks=n_chunks, H=H, D=D, Da=Da,
+                   self_loops=self_loops, slope=slope, big_prec=big_prec)
+    comp = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"))
+
+    in_specs = (
+        _node_specs(k, tn, 2 * H)        # wn (dst + windows)
+        + _node_specs(k, tn, HD)         # nf (dst + windows)
+        + [_edge_spec(te, H),            # w_ea
+           _edge_spec(te, 1),            # src
+           _edge_spec(te, 1),            # dst
+           _edge_spec(te, 1)]            # emask
+    )
+    fwd = pl.pallas_call(
+        functools.partial(_fwd_kernel, **kparams),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[_tile_spec(tn, HD), _tile_spec(tn, H), _tile_spec(tn, H)],
+            scratch_shapes=[
+                pltpu.VMEM((tn, HD), jnp.float32),
+                pltpu.VMEM((tn, H), jnp.float32),
+                pltpu.VMEM((tn, H), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, HD), jnp.float32),
+            jax.ShapeDtypeStruct((N, H), jnp.float32),
+            jax.ShapeDtypeStruct((N, H), jnp.float32),
+        ],
+        compiler_params=comp,
+        interpret=interpret,
+    )
+
+    bwd_in_specs = (
+        _node_specs(k, tn, 2 * H)
+        + _node_specs(k, tn, HD)
+        + [_edge_spec(te, H), _edge_spec(te, 1), _edge_spec(te, 1),
+           _edge_spec(te, 1),
+           _tile_spec(tn, H),   # m
+           _tile_spec(tn, H),   # den
+           _tile_spec(tn, HD),  # g_out
+           _tile_spec(tn, H),   # s
+           pl.BlockSpec((8, max(H * D, 128)), lambda t, c, ew, sw: (0, 0)),  # a_src
+           ]
+    )
+    bwd = pl.pallas_call(
+        functools.partial(_bwd_kernel, **kparams),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=bwd_in_specs,
+            out_specs=[
+                _tile_spec(tn, H),                              # d_wdst
+                _tile_spec(tn, H),                              # d_wself
+                _tile_spec(tn, HD),                             # d_nf_dst
+                pl.BlockSpec((1, te, H),
+                             lambda t, c, ew, sw: (t * n_chunks + c, 0, 0)),
+                pl.BlockSpec((1, k * tn, HD),
+                             lambda t, c, ew, sw: (t, 0, 0)),   # d_nf_win
+                pl.BlockSpec((8, max(H * D, 128)),
+                             lambda t, c, ew, sw: (0, 0)),      # d_a_src
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tn, H), jnp.float32),
+                pltpu.VMEM((k * tn, HD), jnp.float32),
+                pltpu.VMEM((8, max(H * D, 128)), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H), jnp.float32),
+            jax.ShapeDtypeStruct((N, H), jnp.float32),
+            jax.ShapeDtypeStruct((N, HD), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * n_chunks, te, H), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, k * tn, HD), jnp.float32),
+            jax.ShapeDtypeStruct((8, max(H * D, 128)), jnp.float32),
+        ],
+        compiler_params=comp,
+        interpret=interpret,
+    )
+    return fwd, bwd
+
+
+@functools.lru_cache(maxsize=64)
+def _make_op(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
+             interpret):
+    """Build the custom-VJP fused op for one static configuration."""
+    fwd_call, bwd_call = _build(N, E, H, D, Da, tn, te, k, n_chunks,
+                                self_loops, slope, dt_name, interpret)
+    HD = H * D
+    f32 = jnp.float32
+
+    def prologue(nf, ea, a):
+        nf32 = nf.astype(f32)
+        a32 = a.astype(f32)
+        a_dst, a_ea, a_src = a32[:, :D], a32[:, D:D + Da], a32[:, D + Da:]
+        w_dst = jnp.einsum("nhd,hd->nh", nf32, a_dst)
+        w_src = jnp.einsum("nhd,hd->nh", nf32, a_src)
+        wn = jnp.concatenate([w_dst, w_src], axis=-1)
+        w_ea = ea.astype(f32) @ a_ea.T
+        return wn, w_ea, a_dst, a_ea, a_src
+
+    def run_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile):
+        wn, w_ea, *_ = prologue(nf, ea, a)
+        nf_flat = nf.reshape(N, HD)
+        src2 = src.reshape(E, 1).astype(jnp.int32)
+        dst2 = dst.reshape(E, 1).astype(jnp.int32)
+        em2 = emask.reshape(E, 1).astype(f32)
+        args = [wn] * (k + 1) + [nf_flat] * (k + 1) + [w_ea, src2, dst2, em2]
+        out, m, den = fwd_call(ew_blk, sw_tile, *args)
+        return out, m, den
+
+    @jax.custom_vjp
+    def op(nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot):
+        out, _, _ = run_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile)
+        return out.reshape(N, H, D).astype(nf.dtype)
+
+    def op_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot):
+        out, m, den = run_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile)
+        res = (nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot,
+               out, m, den)
+        return out.reshape(N, H, D).astype(nf.dtype), res
+
+    def op_bwd(res, g):
+        (nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot,
+         out, m, den) = res
+        wn, w_ea, a_dst, a_ea, a_src = prologue(nf, ea, a)
+        g32 = g.reshape(N, HD).astype(f32)
+        s = _hsum_xla(g32, out, H, D)                     # (N, H)
+        nf_flat = nf.reshape(N, HD)
+        src2 = src.reshape(E, 1).astype(jnp.int32)
+        dst2 = dst.reshape(E, 1).astype(jnp.int32)
+        em2 = emask.reshape(E, 1).astype(f32)
+        a_src_pad = jnp.zeros((8, max(HD, 128)), f32)
+        a_src_pad = a_src_pad.at[0, :HD].set(a_src.reshape(HD))
+        args = ([wn] * (k + 1) + [nf_flat] * (k + 1)
+                + [w_ea, src2, dst2, em2, m, den, g32, s, a_src_pad])
+        d_wdst, d_wself, d_nfdst, d_z_tiled, d_nfwin, d_asrc_pad = bwd_call(
+            ew_blk, sw_tile, *args)
+
+        nf32 = nf.astype(f32)
+        d_z = d_z_tiled.reshape(-1, H)[flat_slot]         # (E, H) gather
+        d_z = d_z * emask.reshape(E, 1).astype(f32)
+        d_ea = (d_z @ a_ea).astype(ea.dtype)
+        d_a_ea = jnp.einsum("eh,ed->hd", d_z, ea.astype(f32))
+        d_a_dst = jnp.einsum("nh,nhd->hd", d_wdst, nf32)
+        d_a_src = d_asrc_pad[0, :HD].reshape(H, D)
+        if self_loops:
+            d_a_dst = d_a_dst + jnp.einsum("nh,nhd->hd", d_wself, nf32)
+            d_a_src = d_a_src + jnp.einsum("nh,nhd->hd", d_wself, nf32)
+
+        d_nf = jnp.einsum("nh,hd->nhd", d_wdst, a_dst).reshape(N, HD)
+        if self_loops:
+            d_nf = d_nf + jnp.einsum(
+                "nh,hd->nhd", d_wself, a_dst + a_src).reshape(N, HD)
+            d_nf = d_nf + d_nfdst
+        # fold the per-tile source-window partials back at their offsets
+        offs = sw_tile.astype(jnp.int32) * tn
+
+        def body(acc, pair):
+            win, off = pair
+            cur = jax.lax.dynamic_slice(acc, (off, 0), (k * tn, HD))
+            return jax.lax.dynamic_update_slice(acc, cur + win, (off, 0)), None
+
+        d_nf, _ = jax.lax.scan(body, d_nf, (d_nfwin, offs))
+        d_a = jnp.concatenate([d_a_dst, d_a_ea, d_a_src], axis=-1)
+        return (d_nf.reshape(N, H, D).astype(nf.dtype), d_ea, None, None,
+                jnp.zeros_like(emask), d_a.astype(a.dtype), None, None, None)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def _hsum_xla(x, y, H, D):
+    return jnp.einsum("nhd,nhd->nh", x.reshape(-1, H, D), y.reshape(-1, H, D))
+
+
+def pallas_gat_pass(
+    node_feats_h: jnp.ndarray,   # (N, H, D)
+    edge_attr: jnp.ndarray,      # (E, Da) — broadcast per head
+    src: jnp.ndarray,            # (E,) i32
+    dst: jnp.ndarray,            # (E,) i32
+    edge_mask: jnp.ndarray,      # (E,)
+    attn_vec: jnp.ndarray,       # (H, 2D + Da)
+    meta: TileMeta,
+    self_loops: bool = False,
+    negative_slope: float = 0.2,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused GAT pass (same math as ops.segment.gat_attention_pass, without
+    the attention-by-source extraction — interpretability uses the XLA path).
+    Self-loops are folded in analytically when ``self_loops`` (the atom pass,
+    gat2.py:179-185: appended after real edges with zero edge attrs)."""
+    N, H, D = node_feats_h.shape
+    E = src.shape[0]
+    Da = edge_attr.shape[-1]
+    if interpret is None:
+        # Mosaic only targets TPU; interpret everywhere else (tests, dryrun)
+        interpret = INTERPRET or jax.default_backend() != "tpu"
+    op = _make_op(N, E, H, D, Da, meta.tn, meta.te, meta.k_src,
+                  meta.n_chunks, bool(self_loops), float(negative_slope),
+                  str(node_feats_h.dtype), bool(interpret))
+    return op(node_feats_h, edge_attr, src, dst, edge_mask, attn_vec,
+              jnp.asarray(meta.ew_blk), jnp.asarray(meta.sw_tile),
+              jnp.asarray(meta.flat_slot))
