@@ -63,28 +63,28 @@ def _hsum(x, H, D):
                                (((1,), (0,)), ((), ())), precision=_HI)
 
 
-def _hrep(x, D):
+def _hrep(x, D, prec=_HI):
     """(R, H) → (R, H*D): broadcast each head value across its D lanes
-    (indicator-matrix matmul at HIGHEST — Mosaic-safe, ~fp32 exact)."""
+    (indicator-matrix matmul — Mosaic-safe; exact at HIGHEST)."""
     H = x.shape[1]
     HD = H * D
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // D
     Bt = (rows == cols).astype(jnp.float32)
     return jax.lax.dot_general(x.astype(jnp.float32), Bt,
-                               (((1,), (0,)), ((), ())), precision=_HI)
+                               (((1,), (0,)), ((), ())), precision=prec)
 
 
-def _gather_rows(oh, tbl):
-    """Row-select via one-hot matmul: (R, N)·(N, H) → (R, H), HIGHEST."""
+def _gather_rows(oh, tbl, prec=_HI):
+    """Row-select via one-hot matmul: (R, N)·(N, H) → (R, H)."""
     return jax.lax.dot_general(oh, tbl, (((1,), (0,)), ((), ())),
-                               precision=_HI)
+                               precision=prec)
 
 
-def _scatter_rows(oh, vals):
+def _scatter_rows(oh, vals, prec=_HI):
     """Transpose-scatter via dot_general: Σ_r oh[r,n]·vals[r,h] → (N, H)."""
     return jax.lax.dot_general(oh, vals, (((0,), (0,)), ((), ())),
-                               precision=_HI)
+                               precision=prec)
 
 
 def _seg_max(oh_b, z, H, te, width):
@@ -145,9 +145,9 @@ def _fwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
 
     z = (
         jax.lax.dot_general(oh_dst, w_dst_tile, (((1,), (0,)), ((), ())),
-                            precision=_HI)
+                            precision=big_prec)
         + jax.lax.dot_general(oh_src_b.astype(f32), wn_win[:, H:],
-                              (((1,), (0,)), ((), ())), precision=_HI)
+                              (((1,), (0,)), ((), ())), precision=big_prec)
         + w_ea_ref[:]
     )
     z = _leaky(z, slope)
@@ -159,18 +159,18 @@ def _fwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
     m_new = jnp.maximum(acc_m[:], cmax)
     scale = jnp.exp(acc_m[:] - m_new)
     acc_den[:] = acc_den[:] * scale
-    acc_num[:] = acc_num[:] * _hrep(scale, D)
+    acc_num[:] = acc_num[:] * _hrep(scale, D, big_prec)
 
-    m_e = _gather_rows(oh_dst, m_new)            # (Te, H) exact
+    m_e = _gather_rows(oh_dst, m_new, big_prec)  # (Te, H)
     p = jnp.exp(z - m_e) * keep_f                # (Te, H) f32
-    acc_den[:] = acc_den[:] + _scatter_rows(oh_dst, p)
+    acc_den[:] = acc_den[:] + _scatter_rows(oh_dst, p, big_prec)
 
     nfdt = nf_win.dtype
     h_src = jax.lax.dot_general(
         oh_src_b.astype(nfdt), nf_win, (((1,), (0,)), ((), ())),
         preferred_element_type=f32, precision=big_prec,
     )                                            # (Te, HD) f32
-    weighted = h_src * _hrep(p, D)
+    weighted = h_src * _hrep(p, D, big_prec)
     acc_num[:] = acc_num[:] + jax.lax.dot_general(
         oh_dst, weighted, (((0,), (0,)), ((), ())),
         preferred_element_type=f32, precision=big_prec,
@@ -181,7 +181,7 @@ def _fwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
     def _fin():
         den = acc_den[:]
         den_g = jnp.where(den == 0.0, 1.0, den)
-        out_ref[:] = acc_num[:] / _hrep(den_g, D)
+        out_ref[:] = acc_num[:] / _hrep(den_g, D, big_prec)
         m_ref[:] = acc_m[:]
         den_ref[:] = den
 
@@ -226,7 +226,7 @@ def _bwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
             d_logit = p_self * (d_p - s_tile)
             d_zpre = d_logit * jnp.where(z_pre > 0, 1.0, slope)
             d_wself_ref[:] = d_zpre
-            d_nfdst_ref[:] = gout_t * _hrep(p_self, D)
+            d_nfdst_ref[:] = gout_t * _hrep(p_self, D, big_prec)
         else:
             d_wself_ref[:] = jnp.zeros((tn, H), f32)
             d_nfdst_ref[:] = jnp.zeros((tn, HD), f32)
@@ -248,14 +248,14 @@ def _bwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
 
     z_pre = (
         jax.lax.dot_general(oh_dst, wn_dst[:, :H], (((1,), (0,)), ((), ())),
-                            precision=_HI)
+                            precision=big_prec)
         + jax.lax.dot_general(oh_src_b.astype(f32), wn_win[:, H:],
-                              (((1,), (0,)), ((), ())), precision=_HI)
+                              (((1,), (0,)), ((), ())), precision=big_prec)
         + w_ea_ref[:]
     )
     logit = jnp.where(keep, _leaky(z_pre, slope), _NEG)
-    m_e = _gather_rows(oh_dst, m_tile)
-    den_e = _gather_rows(oh_dst, den_g)
+    m_e = _gather_rows(oh_dst, m_tile, big_prec)
+    den_e = _gather_rows(oh_dst, den_g, big_prec)
     den_e = jnp.where(den_e == 0.0, 1.0, den_e)
     p = jnp.exp(logit - m_e) / den_e * keep_f     # (Te, H)
 
@@ -269,26 +269,25 @@ def _bwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
         preferred_element_type=f32, precision=big_prec,
     )                                             # (Te, HD)
     d_p = _hsum(gout_e * h_src, H, D)             # (Te, H)
-    s_e = _gather_rows(oh_dst, s_tile)
+    s_e = _gather_rows(oh_dst, s_tile, big_prec)
     d_logit = p * (d_p - s_e)
     d_zpre = d_logit * jnp.where(z_pre > 0, 1.0, slope) * keep_f
 
     d_z_ref[0] = d_zpre
-    acc_dwdst[:] = acc_dwdst[:] + _scatter_rows(oh_dst, d_zpre)
+    acc_dwdst[:] = acc_dwdst[:] + _scatter_rows(oh_dst, d_zpre, big_prec)
 
     # d_h_src = p ⊗ g_out[dst]  +  d_zpre ⊗ a_src   (per edge, per head)
     # a_src arrives pre-flattened: row 0 of a_src_ref is (1, HD) head-major
     a_flat = jax.lax.slice(a_src_ref[:].astype(f32), (0, 0), (1, HD))
-    d_hsrc = gout_e * _hrep(p, D) + _hrep(d_zpre, D) * jnp.broadcast_to(
-        a_flat, (te, HD)
-    )
+    d_hsrc = gout_e * _hrep(p, D, big_prec) \
+        + _hrep(d_zpre, D, big_prec) * jnp.broadcast_to(a_flat, (te, HD))
     acc_dnfw[:] = acc_dnfw[:] + jax.lax.dot_general(
         oh_src_b.astype(f32), d_hsrc, (((0,), (0,)), ((), ())),
         preferred_element_type=f32, precision=big_prec,
     )
     # d_a_src += Σ_e d_zpre[e,h] · h_src[e,h,:] — accumulated flat: row 0 of
     # the (8, ≥HD) accumulator holds the (1, HD) head-major vector
-    prod = _hrep(d_zpre, D) * h_src               # (Te, HD)
+    prod = _hrep(d_zpre, D, big_prec) * h_src     # (Te, HD)
     flat = jnp.sum(prod, axis=0, keepdims=True)   # (1, HD)
     pad_w = acc_dasrc.shape[1]
     if pad_w > HD:
@@ -495,15 +494,16 @@ def _make_op(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
             d_nf = d_nf + jnp.einsum(
                 "nh,hd->nhd", d_wself, a_dst + a_src).reshape(N, HD)
             d_nf = d_nf + d_nfdst
-        # fold the per-tile source-window partials back at their offsets
-        offs = sw_tile.astype(jnp.int32) * tn
-
-        def body(acc, pair):
-            win, off = pair
-            cur = jax.lax.dynamic_slice(acc, (off, 0), (k * tn, HD))
-            return jax.lax.dynamic_update_slice(acc, cur + win, (off, 0)), None
-
-        d_nf, _ = jax.lax.scan(body, d_nf, (d_nfwin, offs))
+        # fold the per-tile source-window partials back: windows are
+        # Tn-aligned, so decompose each into k tile-slabs and segment-sum the
+        # (n_tiles·k) slabs onto their node tiles — one tiny scatter instead
+        # of n_tiles sequential dynamic-slice updates.
+        n_tiles = N // tn
+        slabs = d_nfwin.reshape(n_tiles * k, tn * HD)
+        slab_tile = (sw_tile[:, None] + jnp.arange(k)[None, :]).reshape(-1)
+        d_nf_tiles = jax.ops.segment_sum(slabs, slab_tile,
+                                         num_segments=n_tiles)
+        d_nf = d_nf + d_nf_tiles.reshape(N, HD)
         d_a = jnp.concatenate([d_a_dst, d_a_ea, d_a_src], axis=-1)
         return (d_nf.reshape(N, H, D).astype(nf.dtype), d_ea, None, None,
                 jnp.zeros_like(emask), d_a.astype(a.dtype), None, None, None)
