@@ -8,5 +8,14 @@ from fragnet_tpu.dist.data_parallel import (
     make_mesh,
     stack_for_dp,
 )
+from fragnet_tpu.dist.edge_partition import (
+    edge_partitioned_gat_pass,
+    edge_partitioned_segment_sum,
+    shard_edges,
+)
 
-__all__ = ["make_dp_train_step", "make_mesh", "stack_for_dp"]
+__all__ = [
+    "make_dp_train_step", "make_mesh", "stack_for_dp",
+    "edge_partitioned_gat_pass", "edge_partitioned_segment_sum",
+    "shard_edges",
+]

@@ -1,0 +1,141 @@
+"""Edge-partitioned GAT pass over a device mesh.
+
+The scale-out mode the reference lacks (its only distribution is gradient
+all-reduce DDP, finetune_gat2_pl.py:230): when a single graph batch has more
+message edges than one chip can hold, shard the EDGE arrays across mesh
+devices and keep node state replicated. Each shard computes partial
+segment-softmax statistics for its edge range; cross-shard combination is
+three mesh collectives (max, sum, sum) riding ICI:
+
+    m      = pmax(local segment max of logits)
+    denom  = psum(local Σ exp(logit − m))
+    out    = psum(local Σ exp(logit − m)·h_src) / denom
+
+This is the segment-sum analog of ring attention: partial reductions for
+nodes whose edges span shards are combined by the collective instead of a
+host gather. Atom→fragment pooling composes the same way (psum of partial
+fragment sums).
+
+Edges are padded to a multiple of the mesh size and masked, so every shard
+runs the same static shapes. Works under ``shard_map`` on any mesh axis; the
+tests run it on the 8-device virtual CPU mesh (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+_NEG = -1e9
+
+
+def shard_edges(arrs, n_shards: int, pad_value=0):
+    """Pad each (E, ...) array to a multiple of ``n_shards`` and reshape to
+    (n_shards, E/n_shards, ...). The LAST array must be the edge mask — its
+    padding is forced to 0."""
+    out = []
+    E = arrs[0].shape[0]
+    Ep = ((E + n_shards - 1) // n_shards) * n_shards
+    for i, a in enumerate(arrs):
+        pad = [(0, Ep - E)] + [(0, 0)] * (a.ndim - 1)
+        fill = pad_value if i < len(arrs) - 1 else 0
+        ap = np.pad(np.asarray(a), pad, constant_values=fill)
+        out.append(ap.reshape((n_shards, Ep // n_shards) + a.shape[1:]))
+    return out
+
+
+def _local_pass(node_feats_h, edge_attr_h, src, dst, edge_mask, attn_vec,
+                num_nodes: int, negative_slope: float, axis: str):
+    """Runs on ONE shard's edge range; node_feats replicated."""
+    h_src = node_feats_h[src]
+    h_dst = node_feats_h[dst]
+    msg = jnp.concatenate([h_dst, edge_attr_h, h_src], axis=-1)
+    logits = jnp.sum(
+        msg.astype(jnp.float32) * attn_vec[None].astype(jnp.float32), axis=-1
+    )
+    logits = jax.nn.leaky_relu(logits, negative_slope)
+    m = edge_mask.reshape(edge_mask.shape + (1,) * (logits.ndim - 1))
+    logits = jnp.where(m > 0, logits, _NEG)
+
+    # local per-node max, then global via pmax over the mesh axis
+    local_max = jax.ops.segment_max(logits, dst, num_segments=num_nodes)
+    gmax = jax.lax.pmax(local_max, axis)
+    gmax = jnp.where(gmax <= _NEG / 2, 0.0, gmax)
+
+    ex = jnp.exp(logits - gmax[dst]) * m
+    local_den = jax.ops.segment_sum(ex, dst, num_segments=num_nodes)
+    den = jax.lax.psum(local_den, axis)
+    den = jnp.where(den == 0.0, 1.0, den)
+
+    weighted = ex.astype(h_src.dtype)[..., None] * h_src
+    local_num = jax.ops.segment_sum(weighted, dst, num_segments=num_nodes)
+    num = jax.lax.psum(local_num, axis)
+    return num / den[..., None].astype(num.dtype)
+
+
+def edge_partitioned_gat_pass(
+    mesh: Mesh,
+    node_feats_h: jnp.ndarray,    # (N, H, D) — replicated
+    edge_attr_h: jnp.ndarray,     # (S, Es, H, Da) — edge-sharded
+    src: jnp.ndarray,             # (S, Es)
+    dst: jnp.ndarray,             # (S, Es)
+    edge_mask: jnp.ndarray,       # (S, Es)
+    attn_vec: jnp.ndarray,        # (H, 2D+Da) — replicated
+    axis: str = "data",
+    negative_slope: float = 0.2,
+) -> jnp.ndarray:
+    """Same math as ops.segment.gat_attention_pass over the union of all
+    edge shards; returns the replicated (N, H, D) aggregate."""
+    N = node_feats_h.shape[0]
+
+    fn = shard_map(
+        partial(_local_pass, num_nodes=N, negative_slope=negative_slope,
+                axis=axis),
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+
+    def squeeze(x):  # (1, Es, ...) per-shard view → (Es, ...)
+        return x.reshape(x.shape[1:])
+
+    wrapped = lambda nf, ea, s, d, em, a: fn(nf, ea, s, d, em, a)
+    return wrapped(node_feats_h,
+                   edge_attr_h.reshape((-1,) + edge_attr_h.shape[2:]),
+                   src.reshape(-1), dst.reshape(-1), edge_mask.reshape(-1),
+                   attn_vec)
+
+
+def edge_partitioned_segment_sum(
+    mesh: Mesh,
+    data: jnp.ndarray,        # (S*R, ...) row-sharded
+    segment_ids: jnp.ndarray, # (S*R,) row-sharded
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Cross-shard segment sum (atom→fragment pooling when atoms are
+    partitioned): local partial sums + one psum."""
+
+    def local(d, ids, m):
+        if m is not None:
+            d = d * m.reshape(m.shape + (1,) * (d.ndim - 1))
+        part = jax.ops.segment_sum(d, ids, num_segments=num_segments)
+        return jax.lax.psum(part, axis)
+
+    in_specs = (P(axis), P(axis), P(axis) if mask is not None else None)
+    if mask is None:
+        fn = shard_map(lambda d, i: local(d, i, None), mesh=mesh,
+                       in_specs=(P(axis), P(axis)), out_specs=P(),
+                       check_rep=False)
+        return fn(data, segment_ids)
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=P(),
+                   check_rep=False)
+    return fn(data, segment_ids, mask)
