@@ -129,11 +129,10 @@ class FragNetLayer(nn.Module):
         nf_b = nf_b.reshape(E, H, edge_out_ph)
         a_b = self.param("a_b", xavier_gain, (H, 3 * edge_out_ph))
         if batch.tm_bond is not None:
-            bond_out = pallas_gat_pass(
+            bond_out, attn_bonds = pallas_gat_pass(
                 nf_b, ea_b, batch.bg_src, batch.bg_dst, batch.bg_mask,
                 a_b, batch.tm_bond,
             )
-            attn_bonds = jnp.zeros((E, H), jnp.float32)
         elif batch.bg_nbr_edge is not None:
             bond_out, attn_bonds = ell_gat_pass(
                 nf_b, ea_b, batch.bg_src, batch.bg_nbr_edge,
@@ -171,11 +170,10 @@ class FragNetLayer(nn.Module):
         a = self.param("a", xavier_gain, (H, 2 * atom_out_ph + self.edge_out))
         if batch.tm_atom is not None:
             # self-loops (zero edge attrs, gat2.py:179-185) folded in-kernel
-            atom_out_feats = pallas_gat_pass(
+            atom_out_feats, attn_atoms_full = pallas_gat_pass(
                 nf_a, new_bond_features, batch.edge_src, batch.edge_dst,
                 batch.edge_mask, a, batch.tm_atom, self_loops=True,
             )
-            attn_atoms_full = jnp.zeros((A, H), jnp.float32)
         elif batch.atom_nbr_edge is not None:
             atom_out_feats, attn_atoms_full = ell_gat_pass(
                 nf_a, e_attr, src, batch.atom_nbr_edge,
@@ -208,11 +206,10 @@ class FragNetLayer(nn.Module):
         nf_fb = nf_fb.reshape(C, H, edge_out_ph)
         f_a_b = self.param("f_a_b", xavier_gain, (H, 3 * edge_out_ph))
         if batch.tm_fc is not None:
-            fbond_out = pallas_gat_pass(
+            fbond_out, attn_fbonds = pallas_gat_pass(
                 nf_fb, ea_fb, batch.fc_src, batch.fc_dst, batch.fc_mask,
                 f_a_b, batch.tm_fc,
             )
-            attn_fbonds = jnp.zeros((C, H), jnp.float32)
         elif batch.fc_nbr_edge is not None:
             fbond_out, attn_fbonds = ell_gat_pass(
                 nf_fb, ea_fb, batch.fc_src, batch.fc_nbr_edge,
@@ -239,11 +236,10 @@ class FragNetLayer(nn.Module):
         nf_f = x_frags.reshape(F, H, -1)
         f = self.param("f", xavier_gain, (H, 2 * (self.atom_out // H) + self.edge_out))
         if batch.tm_frag is not None:
-            frag_out = pallas_gat_pass(
+            frag_out, attn_frags = pallas_gat_pass(
                 nf_f, new_fbond_features, batch.frag_src, batch.frag_dst,
                 batch.fconn_mask, f, batch.tm_frag,
             )
-            attn_frags = jnp.zeros((F, H), jnp.float32)
         elif batch.frag_nbr_edge is not None:
             frag_out, attn_frags = ell_gat_pass(
                 nf_f, new_fbond_features, batch.frag_src,

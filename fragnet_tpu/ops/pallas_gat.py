@@ -452,16 +452,19 @@ def _make_op(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
 
     @jax.custom_vjp
     def op(nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot):
-        out, _, _ = run_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile)
-        return out.reshape(N, H, D).astype(nf.dtype)
+        out, m, den = run_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile)
+        return out.reshape(N, H, D).astype(nf.dtype), m, den
 
     def op_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot):
         out, m, den = run_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile)
         res = (nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot,
                out, m, den)
-        return out.reshape(N, H, D).astype(nf.dtype), res
+        return (out.reshape(N, H, D).astype(nf.dtype), m, den), res
 
-    def op_bwd(res, g):
+    def op_bwd(res, gs):
+        # m/den cotangents are ignored: they only feed the stop-gradient
+        # attention epilogue (interpretability outputs, never trained on).
+        g = gs[0]
         (nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot,
          out, m, den) = res
         wn, w_ea, a_dst, a_ea, a_src = prologue(nf, ea, a)
@@ -527,11 +530,17 @@ def pallas_gat_pass(
     self_loops: bool = False,
     negative_slope: float = 0.2,
     interpret: Optional[bool] = None,
-) -> jnp.ndarray:
-    """Fused GAT pass (same math as ops.segment.gat_attention_pass, without
-    the attention-by-source extraction — interpretability uses the XLA path).
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused GAT pass (same math as ops.segment.gat_attention_pass).
     Self-loops are folded in analytically when ``self_loops`` (the atom pass,
-    gat2.py:179-185: appended after real edges with zero edge attrs)."""
+    gat2.py:179-185: appended after real edges with zero edge attrs).
+
+    Returns ``(out (N,H,D), attn_by_src (N,H))``. The summed-attention vector
+    (reference sums final probabilities by SOURCE, gat2.py:165-167) is
+    reconstructed in XLA from the kernel's final softmax state (m, den) plus
+    the same fp32 prologue projections the kernel uses — bit-matching the
+    in-kernel probabilities. It is stop-gradient (interpretability output)
+    and fully dead-code-eliminated by XLA when unused (train steps)."""
     N, H, D = node_feats_h.shape
     E = src.shape[0]
     Da = edge_attr.shape[-1]
@@ -541,6 +550,32 @@ def pallas_gat_pass(
     op = _make_op(N, E, H, D, Da, meta.tn, meta.te, meta.k_src,
                   meta.n_chunks, bool(self_loops), float(negative_slope),
                   str(node_feats_h.dtype), bool(interpret))
-    return op(node_feats_h, edge_attr, src, dst, edge_mask, attn_vec,
-              jnp.asarray(meta.ew_blk), jnp.asarray(meta.sw_tile),
-              jnp.asarray(meta.flat_slot))
+    out, m, den = op(node_feats_h, edge_attr, src, dst, edge_mask, attn_vec,
+                     jnp.asarray(meta.ew_blk), jnp.asarray(meta.sw_tile),
+                     jnp.asarray(meta.flat_slot))
+
+    # ---- attention epilogue (gat2.py:165-167 semantics) -------------------
+    f32 = jnp.float32
+    nf32 = jax.lax.stop_gradient(node_feats_h).astype(f32)
+    a32 = jax.lax.stop_gradient(attn_vec).astype(f32)
+    a_dst, a_ea, a_src = a32[:, :D], a32[:, D:D + Da], a32[:, D + Da:]
+    w_dst = jnp.einsum("nhd,hd->nh", nf32, a_dst)
+    w_src = jnp.einsum("nhd,hd->nh", nf32, a_src)
+    w_ea = jax.lax.stop_gradient(edge_attr).astype(f32) @ a_ea.T
+    m_s = jax.lax.stop_gradient(m)
+    den_s = jnp.where(jax.lax.stop_gradient(den) == 0.0, 1.0,
+                      jax.lax.stop_gradient(den))
+    z = _leaky(w_dst[dst] + w_src[src] + w_ea, negative_slope)
+    # mask BEFORE exp: a masked edge whose dst segment is empty has m = -inf
+    # and exp(z - m) would overflow to inf before the mask could zero it
+    expo = jnp.where(
+        jax.lax.stop_gradient(edge_mask).astype(f32)[:, None] > 0,
+        z - m_s[dst], -jnp.inf,
+    )
+    p = jnp.exp(expo) / den_s[dst]
+    attn = jax.ops.segment_sum(p, src, num_segments=N)
+    if self_loops:
+        # the analytic self-loop contributes at source == node itself
+        z_self = _leaky(w_dst + w_src, negative_slope)
+        attn = attn + jnp.exp(z_self - m_s) / den_s
+    return out, attn
