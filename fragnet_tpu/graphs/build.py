@@ -221,6 +221,12 @@ class GraphBuilder:
                     special_pairs.add((i2, i1))
 
         ei_bonds = np.array([res0, res1], dtype=np.int32).reshape(2, -1)
+        # sort by aggregation target (row 0): segment softmax/sum are
+        # order-independent, and a dst-major order lets the packed transport
+        # (data/packing.py) encode bg_dst as in-degree run lengths
+        if ei_bonds.shape[1]:
+            order = np.argsort(ei_bonds[0], kind="stable")
+            ei_bonds = ei_bonds[:, order]
 
         # cos(angle) edge attrs
         pos = np.asarray(conf.GetPositions(), dtype=np.float64) if conf is not None else None

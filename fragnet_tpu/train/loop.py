@@ -62,7 +62,10 @@ LOSSES = {"mse": mse_loss, "bce": bce_masked_loss}
 # ---------------------------------------------------------------------------
 
 def make_train_step(model, tx: optax.GradientTransformation,
-                    loss_name: str = "mse") -> Callable:
+                    loss_name: str = "mse", layout=None) -> Callable:
+    """``layout``: a data.packing.PackLayout — the step then takes a packed
+    uint8 buffer instead of a HierGraphBatch and unpacks it in-jit (slices +
+    bitcasts, fused by XLA)."""
     loss_fn = LOSSES[loss_name]
 
     # donate the TrainState: params/opt_state buffers are overwritten in
@@ -72,6 +75,10 @@ def make_train_step(model, tx: optax.GradientTransformation,
     # a tunneled TPU costs more than the step itself.
     @partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, batch, base_rng) -> Tuple[TrainState, jnp.ndarray]:
+        if layout is not None:
+            from fragnet_tpu.data.packing import unpack_batch
+
+            batch = unpack_batch(batch, layout)
         rng = jax.random.fold_in(base_rng, state.step)
 
         def loss(params):

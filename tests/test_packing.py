@@ -1,0 +1,112 @@
+"""Single-buffer batch transport (data/packing.py): exact roundtrip,
+train-step equivalence, threaded prefetch, HBM dataset cache."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fragnet_tpu.data.batcher import BatchLoader, DeviceCacheLoader
+from fragnet_tpu.data.packing import build_layout, pack_batch, unpack_batch
+from fragnet_tpu.graphs.hiergraph import spec_for
+from fragnet_tpu.model.finetune import FragNetFineTune
+from fragnet_tpu.train.loop import TrainState, make_train_step
+from fragnet_tpu.train.optim import make_optimizer
+
+
+def _spec(graphs, tcsr=False):
+    return spec_for(graphs, batch_size=4, multiple=16,
+                    tcsr=tcsr, tn=16, te=16)
+
+
+class TestRoundtrip:
+    def test_exact(self, ft_graphs):
+        for tcsr in (False, True):
+            loader = BatchLoader(ft_graphs, 4, spec=_spec(ft_graphs, tcsr),
+                                 shuffle=False, to_device=False)
+            b = next(iter(loader))
+            lay = build_layout(b, jnp.float32)
+            buf = pack_batch(b, lay)
+            assert lay.total_bytes < 0.4 * sum(
+                x.nbytes for x in jax.tree.leaves(b) if hasattr(x, "nbytes"))
+            ub = jax.jit(lambda z: unpack_batch(z, lay))(jnp.asarray(buf))
+            for f in dataclasses.fields(type(b)):
+                a, u = getattr(b, f.name), getattr(ub, f.name)
+                if a is None:
+                    assert u is None, f.name
+                    continue
+                if f.name.startswith("tm_"):
+                    for part in ("ew_blk", "sw_tile", "flat_slot"):
+                        np.testing.assert_array_equal(
+                            np.asarray(getattr(u, part)),
+                            np.asarray(getattr(a, part)),
+                            err_msg=f"{f.name}.{part}")
+                    assert (u.tn, u.te, u.n_chunks, u.k_src) == \
+                        (a.tn, a.te, a.n_chunks, a.k_src)
+                    continue
+                np.testing.assert_array_equal(np.asarray(u), np.asarray(a),
+                                              err_msg=f.name)
+
+    def test_pretrain_targets_roundtrip(self, ft_graphs):
+        loader = BatchLoader(ft_graphs, 4, spec=_spec(ft_graphs),
+                             shuffle=False, to_device=False, with_targets=True)
+        b = next(iter(loader))
+        lay = build_layout(b, jnp.float32)
+        ub = unpack_batch(jnp.asarray(pack_batch(b, lay)), lay)
+        for f in ("bnd_lngth", "bnd_angl", "dh_angl"):
+            np.testing.assert_array_equal(np.asarray(getattr(ub, f)),
+                                          np.asarray(getattr(b, f)), err_msg=f)
+
+
+class TestPackedStep:
+    def test_loss_matches_unpacked(self, ft_graphs):
+        spec = _spec(ft_graphs)
+        model = FragNetFineTune(num_layer=2, num_heads=4, emb_dim=64,
+                                h1=32, h2=32, h3=32, h4=32)
+        tx = make_optimizer("adam", lr=1e-3)
+        plain = BatchLoader(ft_graphs, 4, spec=spec, shuffle=False)
+        packed = BatchLoader(ft_graphs, 4, spec=spec, shuffle=False, pack=True)
+        b0 = next(iter(plain))
+        p0 = next(iter(packed))
+        params = model.init(jax.random.PRNGKey(0), b0, deterministic=True)
+        rng = jax.random.PRNGKey(1)
+
+        params2 = jax.tree.map(lambda x: x.copy(), params)  # step donates
+        s1 = TrainState.create(params, tx)
+        s1, l1 = make_train_step(model, tx, "mse")(s1, b0, rng)
+        s2 = TrainState.create(params2, tx)
+        s2, l2 = make_train_step(model, tx, "mse",
+                                 layout=packed.layout)(s2, p0, rng)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        a = jax.tree.leaves(s1.params)[0]
+        c = jax.tree.leaves(s2.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-6)
+
+
+class TestLoaders:
+    def test_threaded_prefetch_same_batches(self, ft_graphs):
+        loader = BatchLoader(ft_graphs, 4, spec=_spec(ft_graphs),
+                             shuffle=False)
+        direct = [np.asarray(b.y) for b in loader]
+        pre = [np.asarray(b.y) for b in loader.prefetch(depth=2)]
+        assert len(direct) == len(pre)
+        for d, p in zip(direct, pre):
+            np.testing.assert_array_equal(d, p)
+
+    def test_prefetch_propagates_errors(self, ft_graphs):
+        loader = BatchLoader(ft_graphs, 4, spec=_spec(ft_graphs))
+        loader.graphs[0] = None  # poison → AttributeError in worker
+        import pytest
+
+        with pytest.raises(Exception):
+            list(loader.prefetch())
+
+    def test_device_cache_permutes(self, ft_graphs):
+        loader = BatchLoader(ft_graphs, 2, spec=spec_for(ft_graphs, 2),
+                             shuffle=False)
+        cache = DeviceCacheLoader(loader, seed=3)
+        e1 = [float(np.asarray(b.y).sum()) for b in cache]
+        e2 = [float(np.asarray(b.y).sum()) for b in cache]
+        assert sorted(e1) == sorted(e2)
+        assert len(e1) == len(cache)
