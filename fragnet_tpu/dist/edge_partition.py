@@ -29,7 +29,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 _NEG = -1e9
@@ -100,7 +100,7 @@ def edge_partitioned_gat_pass(
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
 
     def squeeze(x):  # (1, Es, ...) per-shard view → (Es, ...)
@@ -111,6 +111,93 @@ def edge_partitioned_gat_pass(
                    edge_attr_h.reshape((-1,) + edge_attr_h.shape[2:]),
                    src.reshape(-1), dst.reshape(-1), edge_mask.reshape(-1),
                    attn_vec)
+
+
+# ---------------------------------------------------------------------------
+# model-level edge-partitioned training (SURVEY §5.7 north star)
+# ---------------------------------------------------------------------------
+
+# per-level EDGE arrays sharded across the mesh; node-space state replicated
+EP_SHARDED_FIELDS = (
+    "edge_src", "edge_dst",
+    "bg_src", "bg_dst", "bg_mask", "ea_bonds",
+    "frag_src", "frag_dst",
+    "fc_src", "fc_dst", "fc_mask", "ea_fbonds",
+)
+
+
+def ep_batch_specs(batch, axis: str = "ep"):
+    """PartitionSpec pytree for a HierGraphBatch in edge-partitioned mode.
+    The batch must be padded with every edge dimension divisible by the mesh
+    size (PadSpec.round_to handles this) and must NOT carry TCSR/ELL
+    metadata (the fused kernels are single-shard concepts)."""
+    import dataclasses
+
+    from fragnet_tpu.graphs.hiergraph import HierGraphBatch
+
+    if batch.tm_atom is not None or batch.atom_nbr_edge is not None:
+        raise ValueError("edge-partitioned mode needs a plain (non-TCSR, "
+                         "non-ELL) PadSpec")
+    specs = {}
+    for f in dataclasses.fields(HierGraphBatch):
+        v = getattr(batch, f.name)
+        if v is None:
+            specs[f.name] = None
+        elif f.name in EP_SHARDED_FIELDS:
+            specs[f.name] = P(axis)
+        else:
+            specs[f.name] = P()
+    return HierGraphBatch(**specs)
+
+
+def make_ep_train_step(model, tx, mesh: Mesh, example_batch,
+                       loss_name: str = "mse", axis: str = "ep"):
+    """Compiled edge-partitioned train step. ``model`` must be constructed
+    with ``ep_axis=axis`` — its layers then run the pmax/psum segment
+    combination inside this shard_map. Gradients are produced by
+    differentiating THROUGH shard_map (jax inserts the collective
+    transposes), so one optimizer update is numerically the single-device
+    update on the full edge set."""
+    import optax
+
+    from fragnet_tpu.train.loop import LOSSES, TrainState
+
+    loss_fn = LOSSES[loss_name]
+    specs = ep_batch_specs(example_batch, axis)
+
+    def local(params, batch, rng):
+        out = model.apply(params, batch, deterministic=False,
+                          rngs={"dropout": rng})
+        return loss_fn(out, batch.y, batch.graph_mask)
+
+    sharded_loss = shard_map(local, mesh=mesh,
+                             in_specs=(P(), specs, P()), out_specs=P())
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, batch, base_rng):
+        rng = jax.random.fold_in(base_rng, state.step)
+        l, grads = jax.value_and_grad(sharded_loss)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), l
+
+    return step
+
+
+def make_ep_eval_step(model, mesh: Mesh, example_batch,
+                      loss_name: str = "mse", axis: str = "ep"):
+    from fragnet_tpu.train.loop import LOSSES
+
+    loss_fn = LOSSES[loss_name]
+    specs = ep_batch_specs(example_batch, axis)
+
+    def local(params, batch):
+        out = model.apply(params, batch, deterministic=True)
+        return loss_fn(out, batch.y, batch.graph_mask), out
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), specs),
+                             out_specs=(P(), P())))
 
 
 def edge_partitioned_segment_sum(
@@ -134,8 +221,8 @@ def edge_partitioned_segment_sum(
     if mask is None:
         fn = shard_map(lambda d, i: local(d, i, None), mesh=mesh,
                        in_specs=(P(axis), P(axis)), out_specs=P(),
-                       check_rep=False)
+                       check_vma=False)
         return fn(data, segment_ids)
     fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=P(),
-                   check_rep=False)
+                   check_vma=False)
     return fn(data, segment_ids, mask)

@@ -28,6 +28,7 @@ class FragNetFineTuneBase(nn.Module):
     fedge_in: int = 6
     fbond_edge_in: int = 6
     dtype: Any = jnp.float32
+    ep_axis: Any = None
 
     def setup(self):
         self.pretrain = FragNet(
@@ -41,6 +42,7 @@ class FragNetFineTuneBase(nn.Module):
             fbond_edge_in=self.fbond_edge_in,
             num_heads=self.num_heads,
             dtype=self.dtype,
+            ep_axis=self.ep_axis,
         )
 
     def encode(self, batch, deterministic: bool = True,
@@ -85,6 +87,7 @@ class FragNetFineTune(nn.Module):
     emb_dim: int = 128
     fthead: str = "FTHead3"
     dtype: Any = jnp.float32
+    ep_axis: Any = None
 
     def setup(self):
         self.pretrain = FragNet(
@@ -98,6 +101,7 @@ class FragNetFineTune(nn.Module):
             fbond_edge_in=self.fbond_edge_in,
             num_heads=self.num_heads,
             dtype=self.dtype,
+            ep_axis=self.ep_axis,
         )
         cls = FTHEADS[self.fthead]
         if self.fthead == "FTHead1":

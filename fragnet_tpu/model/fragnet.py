@@ -35,6 +35,7 @@ class FragNet(nn.Module):
     fbond_edge_in: int = 6
     num_heads: int = 4
     dtype: Any = jnp.float32
+    ep_axis: Any = None  # edge-partitioned mesh axis (dist/edge_partition.py)
 
     @nn.compact
     def __call__(
@@ -60,6 +61,7 @@ class FragNet(nn.Module):
                 fbond_edge_in=self.fbond_edge_in,
                 num_heads=self.num_heads,
                 dtype=self.dtype,
+                ep_axis=self.ep_axis,
                 name=f"layers_{i}",
             )
             for i in range(self.num_layer)

@@ -95,6 +95,11 @@ class FragNetLayer(nn.Module):
     fbond_edge_in: int = 6
     num_heads: int = 4
     dtype: Any = jnp.float32
+    # edge-partitioned mode (dist/edge_partition.py): this layer runs inside
+    # shard_map over mesh axis ``ep_axis`` with the per-level EDGE arrays
+    # sharded and all node-space state replicated; segment stats combine via
+    # pmax/psum (SURVEY.md §5.7 — the north-star scale-out mode).
+    ep_axis: Any = None
 
     @nn.compact
     def __call__(
@@ -128,7 +133,14 @@ class FragNetLayer(nn.Module):
                         name="projection_b")(nf_bonds)
         nf_b = nf_b.reshape(E, H, edge_out_ph)
         a_b = self.param("a_b", xavier_gain, (H, 3 * edge_out_ph))
-        if batch.tm_bond is not None:
+        if self.ep_axis is not None:
+            ea_bh = jnp.broadcast_to(
+                ea_b[:, None, :], (ea_b.shape[0], H, edge_out_ph))
+            bond_out, attn_bonds = gat_attention_pass(
+                nf_b, ea_bh, batch.bg_src, batch.bg_dst, a_b, E,
+                edge_mask=batch.bg_mask, axis_name=self.ep_axis,
+            )
+        elif batch.tm_bond is not None:
             bond_out, attn_bonds = pallas_gat_pass(
                 nf_b, ea_b, batch.bg_src, batch.bg_dst, batch.bg_mask,
                 a_b, batch.tm_bond,
@@ -159,16 +171,38 @@ class FragNetLayer(nn.Module):
         sl = jnp.arange(A, dtype=batch.edge_src.dtype)
         src = jnp.concatenate([batch.edge_src, sl])
         dst = jnp.concatenate([batch.edge_dst, sl])
-        e_attr = jnp.concatenate(
-            [new_bond_features, jnp.zeros((A, self.edge_out), x_atoms.dtype)], axis=0
-        )
-        e_mask = jnp.concatenate([batch.edge_mask, jnp.ones((A,), x_atoms.dtype)])
+        if self.ep_axis is None:
+            e_attr = jnp.concatenate(
+                [new_bond_features, jnp.zeros((A, self.edge_out), x_atoms.dtype)], axis=0
+            )
+            e_mask = jnp.concatenate([batch.edge_mask, jnp.ones((A,), x_atoms.dtype)])
+        else:
+            # local slice of the replicated E-space bond features; self-loop
+            # block participates on shard 0 only (exactly once globally)
+            Es = batch.edge_src.shape[0]
+            aidx = jax.lax.axis_index(self.ep_axis)
+            e_attr = jnp.concatenate([
+                jax.lax.dynamic_slice_in_dim(new_bond_features, aidx * Es, Es),
+                jnp.zeros((A, self.edge_out), x_atoms.dtype),
+            ], axis=0)
+            sl_on = (aidx == 0).astype(x_atoms.dtype)
+            e_mask = jnp.concatenate([
+                jax.lax.dynamic_slice_in_dim(edge_mask, aidx * Es, Es),
+                jnp.full((A,), 1.0, x_atoms.dtype) * sl_on,
+            ])
 
         nf_a = nn.Dense(atom_out_ph * H, kernel_init=torch_linear_init, dtype=dt,
                         name="projection_a")(x_atoms)
         nf_a = nf_a.reshape(A, H, atom_out_ph)
         a = self.param("a", xavier_gain, (H, 2 * atom_out_ph + self.edge_out))
-        if batch.tm_atom is not None:
+        if self.ep_axis is not None:
+            e_attr_h = jnp.broadcast_to(
+                e_attr[:, None, :], (e_attr.shape[0], H, self.edge_out))
+            atom_out_feats, attn_atoms_full = gat_attention_pass(
+                nf_a, e_attr_h, src, dst, a, A, edge_mask=e_mask,
+                axis_name=self.ep_axis,
+            )
+        elif batch.tm_atom is not None:
             # self-loops (zero edge attrs, gat2.py:179-185) folded in-kernel
             atom_out_feats, attn_atoms_full = pallas_gat_pass(
                 nf_a, new_bond_features, batch.edge_src, batch.edge_dst,
@@ -205,7 +239,14 @@ class FragNetLayer(nn.Module):
                          name="projection_fb")(nf_fbonds)
         nf_fb = nf_fb.reshape(C, H, edge_out_ph)
         f_a_b = self.param("f_a_b", xavier_gain, (H, 3 * edge_out_ph))
-        if batch.tm_fc is not None:
+        if self.ep_axis is not None:
+            ea_fbh = jnp.broadcast_to(
+                ea_fb[:, None, :], (ea_fb.shape[0], H, edge_out_ph))
+            fbond_out, attn_fbonds = gat_attention_pass(
+                nf_fb, ea_fbh, batch.fc_src, batch.fc_dst, f_a_b, C,
+                edge_mask=batch.fc_mask, axis_name=self.ep_axis,
+            )
+        elif batch.tm_fc is not None:
             fbond_out, attn_fbonds = pallas_gat_pass(
                 nf_fb, ea_fb, batch.fc_src, batch.fc_dst, batch.fc_mask,
                 f_a_b, batch.tm_fc,
@@ -235,7 +276,19 @@ class FragNetLayer(nn.Module):
         # fragment node features enter per-head WITHOUT projection
         nf_f = x_frags.reshape(F, H, -1)
         f = self.param("f", xavier_gain, (H, 2 * (self.atom_out // H) + self.edge_out))
-        if batch.tm_frag is not None:
+        if self.ep_axis is not None:
+            Cs = batch.frag_src.shape[0]
+            aidx = jax.lax.axis_index(self.ep_axis)
+            fb_local = jax.lax.dynamic_slice_in_dim(
+                new_fbond_features, aidx * Cs, Cs)
+            fm_local = jax.lax.dynamic_slice_in_dim(fconn_mask, aidx * Cs, Cs)
+            fb_attr_h = jnp.broadcast_to(
+                fb_local[:, None, :], (Cs, H, self.edge_out))
+            frag_out, attn_frags = gat_attention_pass(
+                nf_f, fb_attr_h, batch.frag_src, batch.frag_dst, f, F,
+                edge_mask=fm_local, axis_name=self.ep_axis,
+            )
+        elif batch.tm_frag is not None:
             frag_out, attn_frags = pallas_gat_pass(
                 nf_f, new_fbond_features, batch.frag_src, batch.frag_dst,
                 batch.fconn_mask, f, batch.tm_frag,

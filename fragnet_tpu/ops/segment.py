@@ -97,6 +97,7 @@ def gat_attention_pass(
     num_nodes: int,
     edge_mask: Optional[jnp.ndarray] = None,
     negative_slope: float = 0.2,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One GAT-style attention pass — the reference's repeated block
     (gat2.py:137-169 and three siblings):
@@ -109,9 +110,18 @@ def gat_attention_pass(
                                                       gat2.py:165-167)
 
     Returns (aggregated (N, H, D), summed_attn (N, H)).
+
+    ``axis_name``: edge-partitioned mode (inside shard_map) — this call sees
+    only the local edge shard while node state is replicated; the softmax
+    statistics and aggregates combine across shards with pmax/psum over the
+    mesh axis (the segment-sum analog of ring attention, SURVEY.md §5.7).
     """
-    h_src = take_rows(node_feats_h, src)  # (E, H, D)
-    h_dst = take_rows(node_feats_h, dst)  # (E, H, D)
+    # EP mode uses plain gathers: take_rows' custom VJP predates the vma
+    # (varying-axes) tracking shard_map AD relies on; XLA's native
+    # gather/scatter transpose handles the cross-shard cotangents correctly.
+    take = (lambda t, i: t[i]) if axis_name is not None else take_rows
+    h_src = take(node_feats_h, src)  # (E, H, D)
+    h_dst = take(node_feats_h, dst)  # (E, H, D)
     msg = jnp.concatenate([h_dst, edge_attr_h, h_src], axis=-1)
     # logits in fp32 for softmax stability even when activations are bf16
     logits = jnp.sum(
@@ -119,8 +129,29 @@ def gat_attention_pass(
         axis=-1,
     )  # (E, H)
     logits = jax.nn.leaky_relu(logits, negative_slope)
-    probs = segment_softmax(logits, dst, num_nodes, mask=edge_mask)
+    if axis_name is None:
+        probs = segment_softmax(logits, dst, num_nodes, mask=edge_mask)
+        psum = lambda x: x
+    else:
+        if edge_mask is not None:
+            m = edge_mask.reshape(edge_mask.shape + (1,) * (logits.ndim - 1))
+            logits = jnp.where(m > 0, logits, _NEG_BIG)
+        # the max shift is mathematically gradient-free (cancels in the
+        # softmax); pmax has no AD rule, so keep it out of the tangent graph
+        local_max = segment_max(jax.lax.stop_gradient(logits), dst, num_nodes)
+        gmax = jax.lax.pmax(local_max, axis_name)
+        gmax = jax.lax.stop_gradient(
+            jnp.where(gmax <= _NEG_BIG / 2, 0.0, gmax))
+        ex = jnp.exp(logits - gmax[dst])
+        if edge_mask is not None:
+            ex = ex * edge_mask.reshape(
+                edge_mask.shape + (1,) * (ex.ndim - 1))
+        den = jax.lax.psum(
+            jax.ops.segment_sum(ex, dst, num_segments=num_nodes), axis_name)
+        den = jnp.where(den == 0.0, 1.0, den)
+        probs = ex / den[dst]
+        psum = lambda x: jax.lax.psum(x, axis_name)
     weighted = probs.astype(h_src.dtype)[..., None] * h_src
-    out = jax.ops.segment_sum(weighted, dst, num_segments=num_nodes)
-    attn_by_src = jax.ops.segment_sum(probs, src, num_segments=num_nodes)
+    out = psum(jax.ops.segment_sum(weighted, dst, num_segments=num_nodes))
+    attn_by_src = psum(jax.ops.segment_sum(probs, src, num_segments=num_nodes))
     return out, attn_by_src

