@@ -89,6 +89,60 @@ def build_model(opt, n_classes: int, ep_axis: Optional[str] = None):
         from fragnet_tpu.model.variants import FragNetFineTuneGCN
 
         return FragNetFineTuneGCN(**kw)
+    if mv == "gat2_transformer":
+        from fragnet_tpu.model.transformer import FragNetFineTuneTransformer
+
+        return FragNetFineTuneTransformer(
+            n_classes=n_classes, num_layer=kw["num_layer"],
+            num_heads=kw["num_heads"], drop_ratio=kw["drop_ratio"],
+            emb_dim=kw["emb_dim"], h1=kw["h1"],
+            transformer_heads=m.get("transformer_heads", 1),
+            atom_features=kw["atom_features"],
+            frag_features=kw["frag_features"],
+            edge_features=kw["edge_features"],
+            fedge_in=kw["fedge_in"], fbond_edge_in=kw["fbond_edge_in"],
+        )
+    if mv == "gat2_transformer2":
+        from fragnet_tpu.model.transformer import FragNetFineTuneTransformer2
+
+        return FragNetFineTuneTransformer2(
+            n_classes=n_classes, num_layer=kw["num_layer"],
+            num_heads=kw["num_heads"], drop_ratio=kw["drop_ratio"],
+            emb_dim=kw["emb_dim"], h1=kw["h1"],
+            num_attn_layer2=m.get("num_attn_layer2", 6),
+            num_attn_heads2=m.get("num_attn_heads2", 4),
+            drop_ratio2=m.get("drop_ratio2", 0.3),
+            max_seq_len=m.get("max_seq_len", 64),
+            atom_features=kw["atom_features"],
+            frag_features=kw["frag_features"],
+            edge_features=kw["edge_features"],
+            fedge_in=kw["fedge_in"], fbond_edge_in=kw["fbond_edge_in"],
+        )
+    if mv == "gat2_multitask":
+        from fragnet_tpu.model.transformer import FragNetFineTuneMultiTask
+
+        return FragNetFineTuneMultiTask(
+            n_classes=n_classes,
+            n_multi_task_heads=m.get("n_multi_task_heads", 2),
+            num_layer=kw["num_layer"], num_heads=kw["num_heads"],
+            drop_ratio=kw["drop_ratio"], emb_dim=kw["emb_dim"],
+            atom_features=kw["atom_features"],
+            frag_features=kw["frag_features"],
+            edge_features=kw["edge_features"],
+            fedge_in=kw["fedge_in"], fbond_edge_in=kw["fbond_edge_in"],
+        )
+    if mv in ("gat", "gcn", "gcn3"):
+        from fragnet_tpu.model import ablations
+
+        fn = {"gat": ablations.FragNetFineTuneV1,
+              "gcn": ablations.FragNetFineTuneGCNv1,
+              "gcn3": ablations.FragNetFineTuneGIN}[mv]
+        return fn(
+            n_classes=n_classes, num_layer=kw["num_layer"],
+            drop_ratio=kw["drop_ratio"], emb_dim=kw["emb_dim"],
+            atom_features=kw["atom_features"],
+            edge_features=kw["edge_features"],
+        )
     raise ValueError(f"unknown model_version {mv!r}")
 
 
