@@ -233,10 +233,14 @@ def run_hp_search(
     backend: str = "auto",
     train_fn: Optional[Callable] = None,
     seed: int = 0,
+    task: str = "ft",
 ):
     """End-to-end HP search over the finetune recipe.
 
-    ``train_fn(opt) -> score`` defaults to run_finetune (quiet). Each trial
+    ``train_fn(opt) -> score`` defaults to a task-specific objective
+    (minimized): ``ft`` = regression test metric via run_finetune;
+    ``clf`` = −ROC-AUC (reference hp/hp_clf.py); ``dta``/``cdrp`` = test
+    RMSE via run_task (reference hp/hp_dta.py, hp_cdrp.py). Each trial
     deep-copies the base config and injects the sampled params the way the
     reference does (hpoptuna.py:72-85).
     """
@@ -245,11 +249,19 @@ def run_hp_search(
     from fragnet_tpu.config import Config
 
     if train_fn is None:
-        from fragnet_tpu.train.finetune import run_finetune
+        if task in ("dta", "cdrp"):
+            from fragnet_tpu.train.tasks import run_task
 
-        def train_fn(opt):
-            value, _ = run_finetune(opt, quiet=True)
-            return value
+            def train_fn(opt, _task=task):
+                value, _ = run_task(_task, opt, quiet=True)
+                return value
+        else:
+            from fragnet_tpu.train.finetune import run_finetune
+
+            def train_fn(opt, _task=task):
+                value, _ = run_finetune(opt, quiet=True)
+                # clf reports ROC-AUC (higher better) — minimize the negative
+                return -value if _task == "clf" else value
 
     space = fragnet_search_space()
     storage = storage or os.path.join(
@@ -330,6 +342,8 @@ def main():  # CLI: python -m fragnet_tpu.hp.search --config ... --n_trials 5
     ap.add_argument("--n_trials", type=int, default=10)
     ap.add_argument("--study_name", default="fragnet_hp")
     ap.add_argument("--storage", default=None)
+    ap.add_argument("--task", default="ft", choices=["ft", "clf", "dta", "cdrp"],
+                    help="objective family (hpft/hp_clf/hp_dta/hp_cdrp analogs)")
     ap.add_argument("overrides", nargs="*", help="dotted.key=value overrides")
     args = ap.parse_args()
     opt = load_config(args.config)
@@ -343,7 +357,7 @@ def main():  # CLI: python -m fragnet_tpu.hp.search --config ... --n_trials 5
             pass
         opt.set_path(k, v)
     study = run_hp_search(opt, n_trials=args.n_trials, storage=args.storage,
-                          study_name=args.study_name)
+                          study_name=args.study_name, task=args.task)
     best = study.best_trial
     if best:
         print(f"best value: {best[1]:.5f}\nbest params: {best[0]}")

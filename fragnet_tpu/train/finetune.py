@@ -198,7 +198,7 @@ def load_datasets(opt):
     return make(tr), make(va), make(te), len(tcols), task
 
 
-def run_finetune(opt, quiet: bool = False):
+def run_finetune(opt, quiet: bool = False, datasets=None):
     from fragnet_tpu.data.batcher import BatchLoader
     from fragnet_tpu.graphs.hiergraph import spec_for
     from fragnet_tpu.train.checkpoint import (
@@ -215,7 +215,8 @@ def run_finetune(opt, quiet: bool = False):
     exp_dir = opt.get("exp_dir", "exps/tmp")
     os.makedirs(exp_dir, exist_ok=True)
 
-    train_g, val_g, test_g, n_tasks, task = load_datasets(opt)
+    train_g, val_g, test_g, n_tasks, task = (
+        datasets if datasets is not None else load_datasets(opt))
     if not quiet:
         print(f"datasets: train={len(train_g)} val={len(val_g)} test={len(test_g)} "
               f"tasks={n_tasks} type={task}")
@@ -297,6 +298,18 @@ def run_finetune(opt, quiet: bool = False):
         )
         if not quiet:
             print(f"edge-partitioned training over {mesh.size} devices")
+    elif ft.get("standardize", False) and task == "regr":
+        # target standardization (reference finetune_norm.py:28-43)
+        from fragnet_tpu.train.tasks import make_standardized_ft_steps
+
+        ys = np.stack([np.asarray(g.y, np.float32).reshape(-1)[:n_tasks]
+                       for g in train_g])
+        y_mean, y_sdev = ys.mean(axis=0), ys.std(axis=0)
+        tr_step, ev_step = make_standardized_ft_steps(model, tx, y_mean, y_sdev)
+        trainer = TrainerFineTune(model, tx, target_type=task,
+                                  train_step=tr_step, eval_step=ev_step)
+        if not quiet:
+            print(f"standardized targets: mean={y_mean} sdev={y_sdev}")
     else:
         trainer = TrainerFineTune(model, tx, target_type=task)
     ckpt_path = os.path.join(exp_dir, ft.get("chkpoint_name", "ft.ckpt"))

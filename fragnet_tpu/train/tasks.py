@@ -57,6 +57,47 @@ def make_standardized_steps(model, tx, label_mean: float, label_sdev: float):
     return train_step, predict
 
 
+def make_standardized_ft_steps(model, tx, label_mean: float,
+                               label_sdev: float):
+    """Standardized steps in the TrainerFineTune step contract
+    (loop.py:64-107): train on (y−mean)/sdev, evaluate in raw label space —
+    the reference's finetune_norm.py:28-43 flow. Multi-task: per-task
+    mean/sdev vectors broadcast over the task axis."""
+    mean = jnp.asarray(label_mean, jnp.float32)
+    sdev = jnp.asarray(label_sdev, jnp.float32) + 1e-5
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state: TrainState, batch, base_rng):
+        rng = jax.random.fold_in(base_rng, state.step)
+
+        def loss(params):
+            out = model.apply(params, batch, deterministic=False,
+                              rngs={"dropout": rng})
+            y = (batch.y - mean) / sdev
+            m = batch.graph_mask[:, None]
+            return jnp.sum((out - y) ** 2 * m) / jnp.maximum(
+                jnp.sum(m) * y.shape[-1], 1.0)
+
+        l, grads = jax.value_and_grad(loss)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), l
+
+    @jax.jit
+    def eval_step(params, batch):
+        out = model.apply(params, batch, deterministic=True)
+        out = out * sdev + mean  # raw label space
+        m = batch.graph_mask[:, None]
+        l = jnp.sum((out - batch.y) ** 2 * m) / jnp.maximum(
+            jnp.sum(m) * batch.y.shape[-1], 1.0)
+        return l, out
+
+    return train_step, eval_step
+
+
 class TrainerTask:
     """Epoch driver for DTA/CDRP regression with standardization."""
 
