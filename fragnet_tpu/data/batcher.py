@@ -37,6 +37,7 @@ class BatchLoader:
         with_targets: bool = False,
         to_device: bool = True,
         drop_last: bool = False,
+        on_oversize: str = "skip",
         pack: bool = False,
         pack_compact: bool = False,
         compute_dtype=None,
@@ -50,6 +51,11 @@ class BatchLoader:
         self.with_targets = with_targets
         self.to_device = to_device
         self.drop_last = drop_last
+        # oversize policy: 'skip' (train loaders — molecule dropped loudly)
+        # or 'error' (eval loaders — a dropped molecule would silently
+        # corrupt the reported metric; VERDICT r1 weak #6)
+        assert on_oversize in ("skip", "error"), on_oversize
+        self.on_oversize = on_oversize
         # pack=True: emit single-buffer compact batches (data/packing.py) —
         # ~6x less host→device traffic; pair with make_train_step(layout=...)
         self.pack = pack
@@ -79,7 +85,13 @@ class BatchLoader:
                 if window and not fits(window + [cand], self.spec):
                     break
                 if not window and not fits([cand], self.spec):
-                    # single molecule exceeding the spec: skip it loudly
+                    if self.on_oversize == "error":
+                        raise ValueError(
+                            f"molecule exceeds the PadSpec in an eval loader "
+                            f"(would silently shrink the eval set): "
+                            f"{cand.smiles}; enlarge the spec or clean the "
+                            f"dataset")
+                    # train loader: skip it loudly
                     print(f"[batcher] molecule too large for spec, skipped: "
                           f"{cand.smiles}")
                     i += 1

@@ -89,14 +89,18 @@ class PretrainData:
     force-field energy as y (reference get_pt_dataset, dataset.py:19-62)."""
 
     def __init__(self, data_type: str = "exp1s", frag_type: str = "brics",
-                 num_conf: int = 1, max_iters: int = 200):
+                 num_conf: int = 1, max_iters: int = 200,
+                 compat_reference_targets: bool = False):
         self.data_type = data_type
         self.frag_type = frag_type
         self.num_conf = num_conf
         self.max_iters = max_iters
+        self.compat_reference_targets = compat_reference_targets
 
     def get_pt_dataset(self, smiles: Sequence[str], seed: int = 42) -> List[MolGraph]:
-        builder = GraphBuilder(self.data_type, add_dhangles=True)
+        builder = GraphBuilder(
+            self.data_type, add_dhangles=True,
+            compat_reference_targets=self.compat_reference_targets)
         out = []
         for s in smiles:
             r = engine.mol_3d_multi(s, num_conf=self.num_conf, seed=seed,

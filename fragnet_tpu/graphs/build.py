@@ -149,10 +149,14 @@ class GraphBuilder:
         data_type: str = "exp1s",
         add_dhangles: bool = False,
         feature_creator: Optional[FeaturesEXP] = None,
+        compat_reference_targets: bool = False,
     ):
         self.features = feature_creator or FeaturesEXP()
         self.one_s = "1s" in data_type
         self.add_dhangles = add_dhangles
+        # replicate the reference's no-axis .sum() collapse in the bond-angle
+        # target exactly (data.py:239) for bitwise target parity runs
+        self.compat_reference_targets = compat_reference_targets
 
     # -- fragment level ----------------------------------------------------
     def _frag_idx_cnx_attr(self, graph: FragmentedMol):
@@ -290,7 +294,9 @@ class GraphBuilder:
         )
 
         if self.add_dhangles and pos is not None:
-            bl, ba, dh = geometric_targets(pos, edge_index)
+            bl, ba, dh = geometric_targets(
+                pos, edge_index,
+                compat_reference=self.compat_reference_targets)
             out.bnd_lngth = bl.reshape(-1, 1).astype(np.float32)
             out.bnd_angl = ba.reshape(-1, 1).astype(np.float32)
             out.dh_angl = dh.reshape(-1, 1).astype(np.float32)
@@ -306,7 +312,8 @@ def _cos_angle(pos: np.ndarray, i: int, j: int, k: int) -> float:
     return float(np.clip(np.dot(v1, v2) / (n1 * n2), -1.0, 1.0))
 
 
-def geometric_targets(pos: np.ndarray, edge_index: np.ndarray):
+def geometric_targets(pos: np.ndarray, edge_index: np.ndarray,
+                      compat_reference: bool = False):
     """3D pretraining targets (3D-PGT style, reference data.py:224-260).
 
     bnd_lngth[e]  = squared length of directed edge e
@@ -317,8 +324,9 @@ def geometric_targets(pos: np.ndarray, edge_index: np.ndarray):
 
     NOTE: the reference's per-atom direction sum collapses to a scalar via a
     no-axis .sum() (data.py:239); we compute the vector sum (axis=0), i.e. the
-    formula 3D-PGT intended. Divergence documented — targets are training
-    data, not weights, so checkpoint parity is unaffected.
+    formula 3D-PGT intended. ``compat_reference=True`` replicates the
+    reference's collapse (scalar total broadcast into all 3 coords) exactly,
+    for target-level parity runs.
     """
     src, dst = edge_index[0], edge_index[1]
     d = pos[src] - pos[dst]
@@ -328,7 +336,12 @@ def geometric_targets(pos: np.ndarray, edge_index: np.ndarray):
     unit = d / norm
     n_atoms = pos.shape[0]
     direction_unit = np.zeros((n_atoms, 3))
-    np.add.at(direction_unit, src, unit)
+    if compat_reference:
+        totals = np.zeros((n_atoms,))
+        np.add.at(totals, src, unit.sum(axis=1))
+        direction_unit[:] = totals[:, None]  # data.py:239 broadcast
+    else:
+        np.add.at(direction_unit, src, unit)
     bond_angle = np.sum(direction_unit**2, axis=1)
 
     unit_neg = -unit

@@ -243,8 +243,12 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
 
     train_loader = BatchLoader(train_g, bs, spec=spec, shuffle=True, seed=seed,
                                n_tasks=n_tasks)
-    val_loader = BatchLoader(val_g, bs, spec=spec, n_tasks=n_tasks)
-    test_loader = BatchLoader(test_g, bs, spec=spec, n_tasks=n_tasks)
+    # eval loaders hard-fail on oversized molecules instead of silently
+    # shrinking the reported metric's denominator
+    val_loader = BatchLoader(val_g, bs, spec=spec, n_tasks=n_tasks,
+                             on_oversize="error")
+    test_loader = BatchLoader(test_g, bs, spec=spec, n_tasks=n_tasks,
+                              on_oversize="error")
 
     # init
     rng = jax.random.PRNGKey(seed)
@@ -316,13 +320,24 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
     es = EarlyStopping(patience=int(ft.get("es_patience", 100)),
                        path=ckpt_path, save_fn=save_params)
 
+    # observability: JSONL/TensorBoard scalars (finetune_gat2.py:272-273)
+    # + optional jax.profiler trace around the first profiled epoch
+    from fragnet_tpu.obs import ScalarLogger, profile_trace
+
+    logger = ScalarLogger(exp_dir)
+    profile_dir = (os.path.join(exp_dir, "profile")
+                   if ft.get("profile", False) else None)
+
     rng = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
     for epoch in range(n_epochs):
         rng, sub = jax.random.split(rng)
-        state, train_loss = trainer.train_epoch(state, train_loader, sub)
+        with profile_trace(profile_dir if epoch == 1 else None):
+            state, train_loss = trainer.train_epoch(state, train_loader, sub)
         val_score = trainer.validate(state.params, val_loader)
         es(val_score, state.params)
+        logger.log("train/loss", train_loss, epoch)
+        logger.log("val/score", val_score, epoch)
         if not quiet and (epoch % 10 == 0 or epoch == n_epochs - 1):
             print(f"epoch {epoch:4d} train_loss {train_loss:.5f} "
                   f"val {val_score:.5f} best {-(es.best_score or 0):.5f} "
@@ -336,6 +351,8 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
     score, y, p = trainer.test(best, test_loader)
     metric = "rmse" if task == "regr" else "roc_auc"
     value = float(np.sqrt(score)) if task == "regr" else -score
+    logger.log(f"test/{metric}", value, n_epochs)
+    logger.close()
     if not quiet:
         print(f"test {metric}: {value:.5f}")
     with open(os.path.join(exp_dir, f"preds_seed_{seed}.pkl"), "wb") as f:

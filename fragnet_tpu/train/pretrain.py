@@ -127,7 +127,9 @@ def run_pretrain(opt, quiet: bool = False):
         df = synthetic_dataset(n=int(pt.get("n_synthetic", 256)),
                                task="regression", seed=seed)
         maker = PretrainData(data_type=opt.get("data_type", "exp1s"),
-                             num_conf=int(pt.get("num_conf", 1)))
+                             num_conf=int(pt.get("num_conf", 1)),
+                             compat_reference_targets=bool(
+                                 pt.get("compat_reference_targets", False)))
         graphs = maker.get_pt_dataset(list(df["smiles"]), seed=seed)
     if not quiet:
         print(f"pretrain graphs: {len(graphs)}")
@@ -183,19 +185,30 @@ def run_pretrain(opt, quiet: bool = False):
     n_epochs = int(pt.get("n_epochs", 100))
     val_every = int(pt.get("val_every", 5))
 
+    # scalar history + optional profiler trace (pretrain_gat2.py:171-177)
+    from fragnet_tpu.obs import ScalarLogger, profile_trace
+
+    logger = ScalarLogger(exp_dir)
+    profile_dir = (os.path.join(exp_dir, "profile")
+                   if pt.get("profile", False) else None)
+
     rng = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
     for epoch in range(n_epochs):
         rng, sub = jax.random.split(rng)
-        state, train_loss = trainer.train_epoch(state, train_loader, sub)
+        with profile_trace(profile_dir if epoch == 1 else None):
+            state, train_loss = trainer.train_epoch(state, train_loader, sub)
+        logger.log("train/loss", train_loss, epoch)
         if epoch % val_every == 0 or epoch == n_epochs - 1:
             val_loss = trainer.validate(state.params, val_loader)
             es(val_loss, state.params)
+            logger.log("val/loss", val_loss, epoch)
             if not quiet:
                 print(f"epoch {epoch:4d} train {train_loss:.5f} val {val_loss:.5f} "
                       f"[{time.time() - t0:.1f}s]")
             if es.early_stop:
                 break
+    logger.close()
     return es.best_score, ckpt
 
 
