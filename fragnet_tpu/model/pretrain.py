@@ -69,3 +69,22 @@ def mask_atom_features(rng: jax.Array, x_atoms: jnp.ndarray,
     used by FragNetPreTrainMasked2 / pretrain_heads.py:219-228)."""
     mask = jax.random.bernoulli(rng, ratio, (x_atoms.shape[0], 1))
     return jnp.where(mask, -1.0, x_atoms)
+
+
+class FragNetPreTrainMasked2(FragNetPreTrain):
+    """Masks 30% of RAW atom input features to −1 before the encoder
+    (pretrain_heads.py:219-228: ``mask_atom_features`` on ``x_atoms``).
+    Mask is sampled from the 'mask' RNG stream when training; padded rows
+    stay zero via the downstream atom_mask."""
+
+    input_mask_ratio: float = 0.3
+
+    def __call__(self, batch, deterministic: bool = True):
+        if not deterministic:
+            rng = self.make_rng("mask")
+            masked = mask_atom_features(rng, batch.x_atoms,
+                                        self.input_mask_ratio)
+            batch = batch.replace(x_atoms=masked)
+        x_atoms, x_frags, e_edge, _ = self.pretrain(
+            batch, deterministic=deterministic)
+        return self.head(x_atoms, x_frags, e_edge, batch)

@@ -105,7 +105,174 @@ class PretrainTrainer:
         return total / max(n, 1)
 
 
+def structure_ring_count(mol) -> int:
+    """SSSR ring count via the cyclomatic number B − A + components — the
+    nRings structure-pretraining target (pretrain_gat_str.py; n_classes=31)."""
+    n_atoms = mol.GetNumAtoms() if hasattr(mol, "GetNumAtoms") else len(mol.atoms)
+    n_bonds = mol.GetNumBonds() if hasattr(mol, "GetNumBonds") else len(mol.bonds)
+    if hasattr(mol, "connected_components"):
+        n_comp = len(mol.connected_components())
+    else:  # rdkit
+        from rdkit import Chem
+
+        n_comp = len(Chem.GetMolFrags(mol))
+    return max(0, n_bonds - n_atoms + n_comp)
+
+
+def run_aux_pretrain(opt, quiet: bool = False):
+    """Molecular-property / structure-property pretraining — the analogs of
+    pretrain_gat_mol.py:33-97 (multi-property regression from a CSV keyed by
+    SMILES) and pretrain_gat_str.py (ring-count classification). Model is the
+    standard finetune architecture (the reference trains FragNetFineTune on
+    the auxiliary target); the resulting checkpoint transfers into finetuning
+    through the same ``pretrain`` submodule."""
+    from fragnet_tpu.chem import engine
+    from fragnet_tpu.data.batcher import BatchLoader
+    from fragnet_tpu.data.datasets import build_graphs
+    from fragnet_tpu.data.synthetic import synthetic_dataset
+    from fragnet_tpu.graphs.hiergraph import spec_for
+    from fragnet_tpu.model.finetune import FragNetFineTune
+    from fragnet_tpu.obs import ScalarLogger
+    from fragnet_tpu.train.checkpoint import save_params
+    from fragnet_tpu.train.earlystop import EarlyStopping
+    from fragnet_tpu.train.loop import TrainerFineTune
+    from fragnet_tpu.train.optim import make_optimizer
+
+    seed = int(opt.get("seed", 42))
+    exp_dir = opt.get("exp_dir", "exps/pt_aux")
+    os.makedirs(exp_dir, exist_ok=True)
+    pt = opt.pretrain
+    mode = pt.get("mode", "property")
+    loss_name = pt.get("loss", "mse")
+
+    # SMILES source: prop CSV (smiles + property columns) or synthetic
+    prop_csv = pt.get("prop_csv", None)
+    if prop_csv:
+        import pandas as pd
+
+        df = pd.read_csv(prop_csv)
+    else:
+        df = synthetic_dataset(n=int(pt.get("n_synthetic", 128)),
+                               task="regression", seed=seed)
+    smiles = list(df["smiles"])
+
+    if mode == "structure":
+        # ring-count target computed on the fly (pretrain_gat_str.py)
+        ys = []
+        for s in smiles:
+            r = engine.mol_3d(s, seed=seed)
+            ys.append([float(structure_ring_count(r[0]))] if r else None)
+        pairs = [(s, y) for s, y in zip(smiles, ys) if y is not None]
+        smiles = [p[0] for p in pairs]
+        targets = [p[1] for p in pairs]
+        n_classes = int(pt.get("n_classes", 31))
+    else:
+        tcols = [c for c in df.columns if c != "smiles"]
+        tp = pt.get("target_pos", None)
+        if tp is not None:
+            tcols = [tcols[int(tp)]]
+        targets = df[tcols].values.tolist()
+        n_classes = int(pt.get("n_classes", len(tcols)))
+
+    graphs = build_graphs(smiles, targets)
+    if not quiet:
+        print(f"aux pretrain ({mode}): {len(graphs)} graphs, "
+              f"n_classes={n_classes}, loss={loss_name}")
+
+    rng_np = np.random.default_rng(seed)
+    order = rng_np.permutation(len(graphs))
+    n_val = max(1, len(graphs) // 10)
+    val_g = [graphs[i] for i in order[:n_val]]
+    train_g = [graphs[i] for i in order[n_val:]]
+
+    bs = int(pt.get("batch_size", 32))
+    spec = spec_for(graphs, batch_size=bs)
+    n_tasks_data = 1 if (mode == "structure" or loss_name == "cel") else n_classes
+    train_loader = BatchLoader(train_g, bs, spec=spec, shuffle=True,
+                               seed=seed, n_tasks=n_tasks_data)
+    val_loader = BatchLoader(val_g, bs, spec=spec, n_tasks=n_tasks_data)
+
+    m = pt.get("model", {})
+    model = FragNetFineTune(
+        n_classes=n_classes,
+        num_layer=int(m.get("num_layer", 4)),
+        num_heads=int(m.get("num_heads", 4)),
+        drop_ratio=float(m.get("drop_ratio", 0.15)),
+        emb_dim=int(m.get("emb_dim", 128)),
+        atom_features=int(opt.get("atom_features", 167)),
+        frag_features=int(opt.get("frag_features", 167)),
+        edge_features=int(opt.get("edge_features", 17)),
+        fedge_in=int(opt.get("fedge_in", 6)),
+        fbond_edge_in=int(opt.get("fbond_edge_in", 6)),
+    )
+    rng = jax.random.PRNGKey(seed)
+    init_batch = next(iter(train_loader))
+    params = model.init(rng, init_batch, deterministic=True)
+    tx = make_optimizer(pt.get("optimizer", "adam"),
+                        lr=float(pt.get("lr", 1e-4)))
+    state = TrainState.create(params, tx)
+
+    if loss_name == "cel":
+        # integer-class cross-entropy (pretrain_gat_mol.py:80 'cel' branch)
+        @partial(jax.jit, donate_argnums=0)
+        def cel_step(state, batch, base_rng):
+            rng = jax.random.fold_in(base_rng, state.step)
+
+            def loss(p):
+                out = model.apply(p, batch, deterministic=False,
+                                  rngs={"dropout": rng})
+                labels = batch.y[:, 0].astype(jnp.int32)
+                ls = optax.softmax_cross_entropy_with_integer_labels(
+                    out, labels)
+                m_ = batch.graph_mask
+                return jnp.sum(ls * m_) / jnp.maximum(jnp.sum(m_), 1.0)
+
+            l, grads = jax.value_and_grad(loss)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            return TrainState(params=optax.apply_updates(state.params, updates),
+                              opt_state=opt_state, step=state.step + 1), l
+
+        @jax.jit
+        def cel_eval(params, batch):
+            out = model.apply(params, batch, deterministic=True)
+            labels = batch.y[:, 0].astype(jnp.int32)
+            ls = optax.softmax_cross_entropy_with_integer_labels(out, labels)
+            m_ = batch.graph_mask
+            l = jnp.sum(ls * m_) / jnp.maximum(jnp.sum(m_), 1.0)
+            return l, out
+
+        trainer = TrainerFineTune(model, tx, target_type="regr",
+                                  train_step=cel_step, eval_step=cel_eval)
+    else:
+        trainer = TrainerFineTune(model, tx, target_type="regr")
+
+    ckpt = os.path.join(exp_dir, pt.get("chkpoint_name", "pt_aux.ckpt"))
+    es = EarlyStopping(patience=int(pt.get("es_patience", 50)), path=ckpt,
+                       save_fn=save_params)
+    logger = ScalarLogger(exp_dir)
+    rng = jax.random.PRNGKey(seed + 1)
+    t0 = time.time()
+    for epoch in range(int(pt.get("n_epochs", 50))):
+        rng, sub = jax.random.split(rng)
+        state, train_loss = trainer.train_epoch(state, train_loader, sub)
+        val_loss = trainer.validate(state.params, val_loader)
+        es(val_loss, state.params)
+        logger.log("train/loss", train_loss, epoch)
+        logger.log("val/loss", val_loss, epoch)
+        if not quiet and epoch % 5 == 0:
+            print(f"epoch {epoch:4d} train {train_loss:.5f} "
+                  f"val {val_loss:.5f} [{time.time() - t0:.1f}s]")
+        if es.early_stop:
+            break
+    logger.close()
+    return es.best_score, ckpt
+
+
 def run_pretrain(opt, quiet: bool = False):
+    pt_mode = opt.pretrain.get("mode", "geometric") if opt.get("pretrain") else "geometric"
+    if pt_mode in ("property", "structure"):
+        return run_aux_pretrain(opt, quiet=quiet)
     from fragnet_tpu.data.batcher import BatchLoader
     from fragnet_tpu.data.datasets import PretrainData, load_data_parts
     from fragnet_tpu.data.synthetic import synthetic_dataset
@@ -161,6 +328,11 @@ def run_pretrain(opt, quiet: bool = False):
     )
     if model_version == "gat2_masked":
         model = FragNetPreTrainMasked(**kw)
+    elif model_version == "gat2_masked2":
+        # input-level 30% feature masking (pretrain_heads.py:219-228)
+        from fragnet_tpu.model.pretrain import FragNetPreTrainMasked2
+
+        model = FragNetPreTrainMasked2(**kw)
     else:
         model = FragNetPreTrain(**kw)
 
