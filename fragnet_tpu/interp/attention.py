@@ -42,6 +42,29 @@ class InterpResult:
     fconn_contrib: Optional[np.ndarray] = None
     graph: Optional[MolGraph] = None
     mol: Optional[object] = None
+    # per folded connection k: the (atom_i, atom_j) of the REAL bond it cuts
+    # (self_cn/iso_cn3 fall back to one atom from each fragment) — the
+    # reference's connection→bond highlight map (viz.py:366-393)
+    fconn_bonds: Optional[list] = None
+
+
+def fconn_real_bonds(fragmented) -> list:
+    """Map each fragment connection to a pair of real atom indices
+    (reference get_regbond_ids_for_fragbond_ids, viz.py:366-393). Ordering
+    matches the builder's connection order, i.e. the folded fconn weight
+    index."""
+    out = []
+    for cn in fragmented.connections:
+        if cn.bond_id is not None:
+            out.append(tuple(cn.atom_indices))
+        else:
+            # no real bond (self_cn single-fragment loop / iso_cn3 between
+            # disconnected components): arbitrary representative atoms
+            # (viz.py:389-393)
+            f1, f2 = cn.frags
+            out.append((sorted(f1.atom_indices)[0],
+                        sorted(f2.atom_indices)[0]))
+    return out
 
 
 class FragNetInterpreter:
@@ -94,6 +117,9 @@ class FragNetInterpreter:
         else:
             fconn_w = fconn_dir_w
 
+        from fragnet_tpu.chem.fragments import FragmentedMol
+
+        fm = FragmentedMol(mol, None, self.frag_type)
         result = InterpResult(
             smiles=smiles,
             prediction=float(np.asarray(pred)[0, 0]),
@@ -103,6 +129,7 @@ class FragNetInterpreter:
             fconn_weights=_minmax(fconn_w),
             graph=g,
             mol=mol,
+            fconn_bonds=fconn_real_bonds(fm),
         )
 
         if with_contributions:

@@ -73,6 +73,8 @@ def draw_molecule(
     title: str = "",
     show_hs: bool = False,
     frag_of_atom: Optional[Sequence[int]] = None,
+    conn_bonds: Optional[Sequence] = None,      # [(atom_i, atom_j), ...]
+    conn_colors: Optional[np.ndarray] = None,   # (n_connections,) in [0,1]
     path: Optional[str] = None,
 ):
     """Render to a PNG (returns bytes, and writes ``path`` if given).
@@ -113,6 +115,20 @@ def draw_molecule(
         if b.GetBondType() in ("DOUBLE", "AROMATIC"):
             ax.plot(x, y, color=color, lw=lw + 1.2, alpha=0.45, zorder=1)
         ax.plot(x, y, color=color, lw=lw, zorder=1)
+
+    # fragment-connection overlay: the REAL bonds the connections cut,
+    # colored by connection weight (reference frag_weight_highlight,
+    # viz.py:857-898 + get_regbond_ids_for_fragbond_ids:366-393)
+    if conn_bonds is not None:
+        for k, (i, j) in enumerate(conn_bonds):
+            if i not in keep_set or j not in keep_set:
+                continue
+            w = (conn_colors[k] if conn_colors is not None
+                 and k < len(conn_colors) else 1.0)
+            ax.plot([pos[i, 0], pos[j, 0]], [pos[i, 1], pos[j, 1]],
+                    color=cm.get_cmap("Reds")(0.25 + 0.75 * float(w)),
+                    lw=6.0, alpha=0.85, zorder=1.5,
+                    dashes=(2.2, 1.2))
 
     # atoms
     for a in mol.atoms:
@@ -166,6 +182,13 @@ def render_report(result, out_path: str) -> str:
         mol, atom_colors=frag_atom_w, frag_of_atom=np.asarray(g.atom_to_frag),
         title="fragment attention",
     )
+    if result.fconn_bonds:
+        imgs["connections (attention)"] = draw_molecule(
+            mol, frag_of_atom=np.asarray(g.atom_to_frag),
+            conn_bonds=result.fconn_bonds,
+            conn_colors=result.fconn_weights,
+            title="fragment-connection attention (on real bonds)",
+        )
     if result.atom_contrib is not None:
         imgs["atoms (contribution)"] = draw_molecule(
             mol, atom_colors=result.atom_contrib, signed=True,

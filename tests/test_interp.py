@@ -76,3 +76,48 @@ class TestRender:
         out = render_report(res, str(tmp_path / "r.html"))
         html = open(out).read()
         assert "prediction" in html and "data:image/png;base64" in html
+
+
+class TestConnectionBondMap:
+    def test_fconn_real_bonds_cut_bonds(self):
+        """Each BRICS connection maps to the real bond it cuts
+        (viz.py:366-393)."""
+        from fragnet_tpu.chem import engine
+        from fragnet_tpu.chem.fragments import FragmentedMol
+        from fragnet_tpu.interp.attention import fconn_real_bonds
+
+        mol, conf = engine.mol_3d("CC(=O)Oc1ccccc1C(=O)O")
+        fm = FragmentedMol(mol, conf)
+        pairs = fconn_real_bonds(fm)
+        assert len(pairs) == len(fm.connections)
+        real_bonds = {frozenset((b.begin, b.end)) for b in mol.bonds}
+        for cn, (i, j) in zip(fm.connections, pairs):
+            if cn.bond_id is not None:
+                assert frozenset((i, j)) in real_bonds
+
+    def test_iso_cn3_fallback_spans_components(self):
+        from fragnet_tpu.chem import engine
+        from fragnet_tpu.chem.fragments import FragmentedMol
+        from fragnet_tpu.interp.attention import fconn_real_bonds
+
+        mol, conf = engine.mol_3d("[Na+].[Cl-].CCO")
+        fm = FragmentedMol(mol, conf)
+        pairs = fconn_real_bonds(fm)
+        iso = [p for cn, p in zip(fm.connections, pairs)
+               if cn.bond_type == "iso_cn3"]
+        assert iso, "expected iso_cn3 connections for a disconnected mol"
+        for i, j in iso:
+            assert i != j
+
+    def test_result_carries_fconn_bonds_and_report_renders(self, interp,
+                                                           tmp_path):
+        from fragnet_tpu.interp.render import render_report
+
+        res = interp.interpret("CC(=O)Oc1ccccc1C(=O)O",
+                               with_contributions=False)
+        assert res.fconn_bonds is not None
+        assert len(res.fconn_bonds) >= 1
+        out = str(tmp_path / "report.html")
+        render_report(res, out)
+        html = open(out).read()
+        assert "connection" in html
