@@ -104,3 +104,70 @@ def make_dp_eval_step(model, mesh: Mesh, loss_name: str = "mse",
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None) -> int:
+    """Multi-host bring-up: ``jax.distributed.initialize`` — the DCN analog
+    of the reference's ``fabric.launch()`` (finetune_gat2_pl.py:245). With no
+    arguments, autodetects the TPU-pod environment (or the JAX_COORDINATOR_*
+    env vars); no-ops when already initialized or single-process. Returns
+    the process index."""
+    import os
+
+    if jax.process_count() > 1:
+        return jax.process_index()  # already initialized
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    try:
+        if addr:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(num_processes
+                                  or os.environ.get("JAX_NUM_PROCESSES", 1)),
+                process_id=int(process_id
+                               or os.environ.get("JAX_PROCESS_ID", 0)),
+            )
+        elif os.environ.get("TPU_WORKER_HOSTNAMES"):
+            jax.distributed.initialize()  # TPU pod autodetect
+    except RuntimeError:
+        pass  # single-process / already initialized
+    return jax.process_index()
+
+
+class DPBatchLoader:
+    """Loader for the data-parallel mode: windows of
+    ``per_device_batch × n_devices`` graphs, padded per device to one shared
+    PadSpec and stacked on a leading device axis (the shard_map input
+    layout of make_dp_train_step). In a multi-host launch each process
+    constructs this over ITS OWN slice of the dataset and n_devices =
+    local_device_count."""
+
+    def __init__(self, graphs: Sequence, per_device_batch: int,
+                 n_devices: int, spec: PadSpec, shuffle: bool = False,
+                 seed: int = 0, n_tasks: int = 1,
+                 with_targets: bool = False):
+        self.graphs = list(graphs)
+        self.bs = per_device_batch
+        self.n_devices = n_devices
+        self.spec = spec
+        self.shuffle = shuffle
+        self.seed = seed
+        self.n_tasks = n_tasks
+        self.with_targets = with_targets
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        window = self.bs * self.n_devices
+        return (len(self.graphs) + window - 1) // window
+
+    def __iter__(self):
+        order = np.arange(len(self.graphs))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+            self._epoch += 1
+        window = self.bs * self.n_devices
+        for k in range(0, len(order), window):
+            idx = order[k:k + window]
+            yield stack_for_dp(
+                [self.graphs[i] for i in idx], self.n_devices, self.spec,
+                n_tasks=self.n_tasks, with_targets=self.with_targets)

@@ -236,23 +236,60 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
         mesh = make_mesh(n_dev, axis="ep")
         spec = spec_for(train_g + val_g + test_g, batch_size=bs,
                         multiple=8 * n_dev)
+    elif dist_mode == "dp":
+        from fragnet_tpu.dist.data_parallel import (
+            initialize_distributed, make_mesh)
+
+        if dist.get("multihost", False):
+            initialize_distributed()
+        n_dev = int(dist.get("n_devices", 0)) or len(jax.devices())
+        mesh = make_mesh(n_dev, axis="data")
+        spec = spec_for(train_g + val_g + test_g, batch_size=bs)
     else:
         spec = spec_for(train_g + val_g + test_g, batch_size=bs)
 
     model = build_model(opt, n_classes=n_tasks)
 
-    train_loader = BatchLoader(train_g, bs, spec=spec, shuffle=True, seed=seed,
-                               n_tasks=n_tasks)
-    # eval loaders hard-fail on oversized molecules instead of silently
-    # shrinking the reported metric's denominator
-    val_loader = BatchLoader(val_g, bs, spec=spec, n_tasks=n_tasks,
-                             on_oversize="error")
-    test_loader = BatchLoader(test_g, bs, spec=spec, n_tasks=n_tasks,
-                              on_oversize="error")
+    n_buckets = int(ft.get("n_buckets", 1))
+    if dist_mode == "dp":
+        # DP: per-device micro-batches stacked on a leading device axis
+        from fragnet_tpu.dist.data_parallel import DPBatchLoader
+
+        n_dev = mesh.size
+        train_loader = DPBatchLoader(train_g, bs, n_dev, spec, shuffle=True,
+                                     seed=seed, n_tasks=n_tasks)
+        val_loader = DPBatchLoader(val_g, bs, n_dev, spec, n_tasks=n_tasks)
+        test_loader = DPBatchLoader(test_g, bs, n_dev, spec, n_tasks=n_tasks)
+    elif n_buckets > 1 and dist_mode == "none":
+        # size-bucketed padding (SURVEY §7 step 7): one PadSpec per size
+        # quantile instead of one p95 spec for everything
+        from fragnet_tpu.data.batcher import BucketedBatchLoader
+
+        train_loader = BucketedBatchLoader(
+            train_g, bs, n_buckets=n_buckets, shuffle=True, seed=seed,
+            n_tasks=n_tasks)
+        val_loader = BucketedBatchLoader(
+            val_g, bs, n_buckets=n_buckets, n_tasks=n_tasks,
+            on_oversize="error")
+        test_loader = BucketedBatchLoader(
+            test_g, bs, n_buckets=n_buckets, n_tasks=n_tasks,
+            on_oversize="error")
+    else:
+        train_loader = BatchLoader(train_g, bs, spec=spec, shuffle=True,
+                                   seed=seed, n_tasks=n_tasks)
+        # eval loaders hard-fail on oversized molecules instead of silently
+        # shrinking the reported metric's denominator
+        val_loader = BatchLoader(val_g, bs, spec=spec, n_tasks=n_tasks,
+                                 on_oversize="error")
+        test_loader = BatchLoader(test_g, bs, spec=spec, n_tasks=n_tasks,
+                                  on_oversize="error")
 
     # init
     rng = jax.random.PRNGKey(seed)
     init_batch = next(iter(train_loader))
+    if dist_mode == "dp":  # drop the leading device axis for shape tracing
+        init_batch = jax.tree.map(
+            lambda x: x[0] if x is not None else None, init_batch)
     params = model.init(rng, init_batch, deterministic=True)
 
     # pretrained encoder transfer (finetune_gat2.py:213-230)
@@ -302,6 +339,20 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
         )
         if not quiet:
             print(f"edge-partitioned training over {mesh.size} devices")
+    elif dist_mode == "dp":
+        from fragnet_tpu.dist.data_parallel import (
+            make_dp_eval_step,
+            make_dp_train_step,
+        )
+
+        loss = "mse" if task == "regr" else "bce"
+        trainer = TrainerFineTune(
+            model, tx, target_type=task,
+            train_step=make_dp_train_step(model, tx, mesh, loss),
+            eval_step=make_dp_eval_step(model, mesh, loss),
+        )
+        if not quiet:
+            print(f"data-parallel training over {mesh.size} devices")
     elif ft.get("standardize", False) and task == "regr":
         # target standardization (reference finetune_norm.py:28-43)
         from fragnet_tpu.train.tasks import make_standardized_ft_steps

@@ -129,3 +129,50 @@ class TestVariants:
 
         g = jax.grad(loss)(params)
         assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+class TestDPTrainingMode:
+    def test_run_finetune_dp_mode(self, tmp_path, ft_graphs):
+        """dist.mode=dp: full finetune over the 8-device virtual mesh."""
+        import jax
+
+        from fragnet_tpu.config import Config
+        from fragnet_tpu.train.finetune import run_finetune
+
+        assert len(jax.devices()) >= 4
+        tr = ft_graphs * 2
+        va = ft_graphs[:4]
+        te = ft_graphs[4:]
+        opt = Config({
+            "seed": 0,
+            "exp_dir": str(tmp_path / "dp_exp"),
+            "dist": {"mode": "dp", "n_devices": 4},
+            "finetune": {
+                "model": {"num_layer": 1, "num_heads": 2, "emb_dim": 32,
+                          "h1": 16, "h2": 16, "h3": 16, "h4": 16,
+                          "drop_ratio": 0.0},
+                "batch_size": 2, "lr": 1e-3, "n_epochs": 2,
+                "es_patience": 5,
+            },
+        })
+        value, _ = run_finetune(opt, quiet=True,
+                                datasets=(tr, va, te, 1, "regr"))
+        assert np.isfinite(value)
+
+    def test_initialize_distributed_single_process_noop(self):
+        from fragnet_tpu.dist.data_parallel import initialize_distributed
+
+        assert initialize_distributed() == 0
+
+    def test_dp_loader_covers_dataset(self, ft_graphs):
+        from fragnet_tpu.dist.data_parallel import DPBatchLoader
+        from fragnet_tpu.graphs.hiergraph import spec_for
+
+        spec = spec_for(ft_graphs, batch_size=2)
+        loader = DPBatchLoader(ft_graphs, per_device_batch=2, n_devices=2,
+                               spec=spec, shuffle=True, seed=0)
+        total = 0
+        for stacked in loader:
+            assert stacked.x_atoms.ndim == 3  # (D, A, F)
+            total += int(np.asarray(stacked.graph_mask).sum())
+        assert total == len(ft_graphs)
