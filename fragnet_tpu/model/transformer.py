@@ -359,6 +359,11 @@ class FragNetFineTuneMultiTask(nn.Module):
     fedge_in: int = 6
     fbond_edge_in: int = 6
     dtype: Any = jnp.float32
+    # True → (G, T·n_classes): with n_classes=1 this is the (G, n_tasks)
+    # layout the masked multi-task losses consume directly (the trainable
+    # form of the reference's list-of-heads, train/utils.py:547-637).
+    # False → (G, T, n_classes), the reference's per-head stack.
+    flatten_output: bool = True
 
     def setup(self):
         self.pretrain = FragNet(
@@ -387,4 +392,7 @@ class FragNetFineTuneMultiTask(nn.Module):
         x = nn.relu(self.lin1(x))
         x = drop(x)
         outs = [h(x) for h in self.ms_heads]
-        return jnp.stack(outs, axis=1).astype(jnp.float32)
+        stacked = jnp.stack(outs, axis=1).astype(jnp.float32)
+        if self.flatten_output:
+            return stacked.reshape(stacked.shape[0], -1)
+        return stacked

@@ -121,9 +121,11 @@ def build_model(opt, n_classes: int, ep_axis: Optional[str] = None):
     if mv == "gat2_multitask":
         from fragnet_tpu.model.transformer import FragNetFineTuneMultiTask
 
+        # one scalar head per task; flattened output (G, n_tasks) feeds the
+        # masked multi-task losses directly (train/utils.py:547-637)
         return FragNetFineTuneMultiTask(
-            n_classes=n_classes,
-            n_multi_task_heads=m.get("n_multi_task_heads", 2),
+            n_classes=1,
+            n_multi_task_heads=m.get("n_multi_task_heads", n_classes),
             num_layer=kw["num_layer"], num_heads=kw["num_heads"],
             drop_ratio=kw["drop_ratio"], emb_dim=kw["emb_dim"],
             atom_features=kw["atom_features"],

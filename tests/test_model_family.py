@@ -171,10 +171,49 @@ class TestTransformerModels:
     def test_multitask_shapes(self, small_batch):
         batch, _ = small_batch
         model = FragNetFineTuneMultiTask(
-            n_classes=1, n_multi_task_heads=3, **ENC_KW)
+            n_classes=1, n_multi_task_heads=3, flatten_output=False, **ENC_KW)
         params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
         pred = model.apply(params, batch, deterministic=True)
         assert pred.shape == (batch.y.shape[0], 3, 1)
+        # flattened (trainable) form: (G, n_tasks)
+        flat = FragNetFineTuneMultiTask(
+            n_classes=1, n_multi_task_heads=3, **ENC_KW)
+        pred2 = flat.apply(params, batch, deterministic=True)
+        assert pred2.shape == (batch.y.shape[0], 3)
+        np.testing.assert_allclose(np.asarray(pred2),
+                                   np.asarray(pred)[:, :, 0])
+
+    def test_multitask_trains_on_masked_bce(self, small_batch, ft_graphs,
+                                            tmp_path):
+        """End-to-end: gat2_multitask as a 2-task classifier through
+        run_finetune (the reference's multitask trainer flow,
+        train/utils.py:547-637)."""
+        from fragnet_tpu.config import Config
+        from fragnet_tpu.train.finetune import run_finetune
+
+        rng = np.random.default_rng(0)
+        graphs = []
+        for g in ft_graphs:
+            import copy
+
+            g2 = copy.deepcopy(g)
+            g2.y = rng.integers(0, 2, size=2).astype(np.float32)
+            graphs.append(g2)
+        opt = Config({
+            "seed": 0,
+            "exp_dir": str(tmp_path / "mt"),
+            "model_version": "gat2_multitask",
+            "finetune": {
+                "model": {"num_layer": 1, "num_heads": 2, "emb_dim": 32,
+                          "drop_ratio": 0.0},
+                "target_type": "clsf", "batch_size": 4, "lr": 1e-3,
+                "n_epochs": 2, "es_patience": 5,
+            },
+        })
+        value, _ = run_finetune(
+            opt, quiet=True,
+            datasets=(graphs, graphs[:4], graphs[4:], 2, "clsf"))
+        assert np.isfinite(value)
 
     def test_transformer_frag_params_exist_but_unused(self, small_batch):
         """gat2.py:877-878 quirk: frag_transformer in checkpoint, not in
