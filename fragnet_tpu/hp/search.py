@@ -270,6 +270,10 @@ def run_hp_search(
 
     if backend == "optuna" or (backend == "auto" and _have_optuna()):
         return _run_optuna(base_config, n_trials, storage, study_name, train_fn)
+    if backend == "hyperopt":
+        return _run_hyperopt(base_config, n_trials, train_fn)
+    if backend == "ray":
+        return _run_ray(base_config, n_trials, train_fn)
 
     study = Study(storage, name=study_name, seed=seed)
 
@@ -332,6 +336,85 @@ def _run_optuna(base_config, n_trials, storage, study_name, train_fn):  # pragma
     return study
 
 
+def _inject(base_config, params: Dict):
+    """Deep-copy the base config and inject sampled params the way every
+    backend objective does (hpoptuna.py:72-85)."""
+    import copy
+
+    from fragnet_tpu.config import Config
+
+    opt = Config(copy.deepcopy(base_config.to_dict()))
+    opt.set_path("finetune.model.drop_ratio", params["drop_ratio"])
+    for k in ("h1", "h2", "h3", "h4"):
+        opt.set_path(f"finetune.model.{k}", params[k])
+    opt.set_path("finetune.model.act", params["act"])
+    opt.set_path("finetune.batch_size", params["batch_size"])
+    opt.set_path("finetune.lr", params["lr"])
+    return opt
+
+
+def _run_hyperopt(base_config, n_trials, train_fn):  # pragma: no cover
+    """Hyperopt backend (reference hp/hp.py, hp2.py: fmin over hp.choice
+    space). Requires the ``hyperopt`` package."""
+    import numpy as np
+    from hyperopt import Trials, fmin, hp, tpe
+
+    space = {
+        "drop_ratio": hp.choice("drop_ratio", [0.0, 0.1, 0.2, 0.3]),
+        "h1": hp.choice("h1", list(range(64, 2049, 64))),
+        "h2": hp.choice("h2", list(range(64, 2049, 64))),
+        "h3": hp.choice("h3", list(range(64, 2049, 64))),
+        "h4": hp.choice("h4", list(range(64, 2049, 64))),
+        "act": hp.choice("act", ["relu", "silu", "gelu", "celu", "selu",
+                                 "rrelu", "relu6", "prelu", "leakyrelu"]),
+        "batch_size": hp.choice("batch_size", [16, 32, 64, 128]),
+        "lr": hp.loguniform("lr", np.log(1e-5), np.log(1e-3)),
+    }
+
+    def objective(params):
+        try:
+            return train_fn(_inject(base_config, params))
+        except Exception:
+            return FAILURE_SCORE
+
+    trials = Trials()
+    best = fmin(objective, space, algo=tpe.suggest, max_evals=n_trials,
+                trials=trials)
+    return trials
+
+
+def _run_ray(base_config, n_trials, train_fn):  # pragma: no cover
+    """Ray Tune backend (reference hp/hpray.py). Requires ``ray[tune]``."""
+    from ray import tune
+
+    space = {
+        "drop_ratio": tune.choice([0.0, 0.1, 0.2, 0.3]),
+        "h1": tune.choice(list(range(64, 2049, 64))),
+        "h2": tune.choice(list(range(64, 2049, 64))),
+        "h3": tune.choice(list(range(64, 2049, 64))),
+        "h4": tune.choice(list(range(64, 2049, 64))),
+        "act": tune.choice(["relu", "silu", "gelu", "celu", "selu",
+                            "rrelu", "relu6", "prelu", "leakyrelu"]),
+        "batch_size": tune.choice([16, 32, 64, 128]),
+        "lr": tune.loguniform(1e-5, 1e-3),
+    }
+
+    def trainable(params):
+        try:
+            value = train_fn(_inject(base_config, params))
+        except Exception:
+            value = FAILURE_SCORE
+        tune.report({"score": value})
+
+    tuner = tune.Tuner(
+        trainable,
+        param_space=space,
+        tune_config=tune.TuneConfig(num_samples=n_trials, metric="score",
+                                    mode="min"),
+    )
+    return tuner.fit()
+
+
 def main():  # CLI: python -m fragnet_tpu.hp.search --config ... --n_trials 5
     import argparse
 
@@ -344,6 +427,10 @@ def main():  # CLI: python -m fragnet_tpu.hp.search --config ... --n_trials 5
     ap.add_argument("--storage", default=None)
     ap.add_argument("--task", default="ft", choices=["ft", "clf", "dta", "cdrp"],
                     help="objective family (hpft/hp_clf/hp_dta/hp_cdrp analogs)")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "builtin", "optuna", "hyperopt", "ray"],
+                    help="search backend (hpoptuna/hp/hpray analogs; builtin "
+                         "= the SQLite TPE-lite study)")
     ap.add_argument("overrides", nargs="*", help="dotted.key=value overrides")
     args = ap.parse_args()
     opt = load_config(args.config)
@@ -357,7 +444,8 @@ def main():  # CLI: python -m fragnet_tpu.hp.search --config ... --n_trials 5
             pass
         opt.set_path(k, v)
     study = run_hp_search(opt, n_trials=args.n_trials, storage=args.storage,
-                          study_name=args.study_name, task=args.task)
+                          study_name=args.study_name, task=args.task,
+                          backend=args.backend)
     best = study.best_trial
     if best:
         print(f"best value: {best[1]:.5f}\nbest params: {best[0]}")
