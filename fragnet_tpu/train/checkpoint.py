@@ -105,19 +105,86 @@ def _torch_key_to_flax(key: str) -> Optional[tuple]:
     return None
 
 
+_LEAF = {"weight": "kernel", "bias": "bias"}
+
+
+def _torch_key_to_flax_gcn2(key: str) -> Optional[tuple]:
+    """gcn2 family (model/gcn/gcn2.py): atom_embed/edge_embed/frag_mlp are
+    LIVE here (unlike gat2 where they are constructed-but-unused);
+    frag_embed/frag_message_mlp/atom_mlp and the unused top-level lin1 are
+    skipped."""
+    m = re.match(r"pretrain\.layers\.(\d+)\.(.+)", key)
+    if m:
+        i, rest = m.group(1), m.group(2)
+        rparts = rest.split(".")
+        base = ("pretrain", f"layers_{i}")
+        if rparts[0] in ("atom_embed", "edge_embed") and len(rparts) == 2:
+            return base + (rparts[0], _LEAF[rparts[1]])
+        m2 = re.match(r"frag_mlp\.([02])\.(weight|bias)", rest)
+        if m2:
+            idx = {"0": "frag_mlp_0", "2": "frag_mlp_1"}[m2.group(1)]
+            return base + (idx, _LEAF[m2.group(2)])
+        return None
+    m = re.match(r"fthead\.predictor\.(\d+)\.(weight|bias)", key)
+    if m:
+        return ("head", "_MLPHead_0", f"predictor_{m.group(1)}",
+                _LEAF[m.group(2)])
+    m = re.match(r"fthead\.(lin1|out|dense|out_proj)\.(weight|bias)", key)
+    if m:
+        return ("head", m.group(1), _LEAF[m.group(2)])
+    return None  # lin1/out at top level are unused in gcn2 forward
+
+
+def _torch_key_to_flax_gat1(key: str) -> Optional[tuple]:
+    """v1 family (model/gat/gat.py): fixed attributes layer1..layer4 →
+    layers_0..3; live modules: projection_b/a_b (bond GAT), atom_embed,
+    edge_embed (computed-unused but present in our tree too), frag_mlp;
+    skipped: frag_embed/frag_message_mlp/atom_mlp/bias (uninitialized)."""
+    m = re.match(r"pretrain\.layer(\d+)\.(.+)", key)
+    if m:
+        i = int(m.group(1)) - 1
+        rest = m.group(2)
+        rparts = rest.split(".")
+        base = ("pretrain", f"layers_{i}")
+        if rest == "a_b":
+            return base + ("a_b",)
+        if rparts[0] in ("projection_b", "atom_embed", "edge_embed") \
+                and len(rparts) == 2:
+            return base + (rparts[0], _LEAF[rparts[1]])
+        m2 = re.match(r"frag_mlp\.([02])\.(weight|bias)", rest)
+        if m2:
+            idx = {"0": "frag_mlp_0", "2": "frag_mlp_1"}[m2.group(1)]
+            return base + (idx, _LEAF[m2.group(2)])
+        return None
+    m = re.match(r"(lin1|out)\.(weight|bias)", key)
+    if m:
+        return (m.group(1), _LEAF[m.group(2)])
+    return None
+
+
+_FAMILY_MAPPERS = {
+    "gat2": _torch_key_to_flax,
+    "gcn2": _torch_key_to_flax_gcn2,
+    "gat": _torch_key_to_flax_gat1,
+}
+
+
 def import_torch_state_dict(state_dict: Dict[str, Any],
                             template: Optional[Any] = None,
-                            strict: bool = False) -> Dict:
+                            strict: bool = False,
+                            family: str = "gat2") -> Dict:
     """Convert a reference torch state_dict (tensor or ndarray values) into a
     flax params dict {'params': ...}. Linear weights are transposed
-    (torch [out,in] → flax kernel [in,out]).
+    (torch [out,in] → flax kernel [in,out]). ``family`` selects the name
+    mapping: 'gat2' (default), 'gcn2', or 'gat' (v1).
 
     With ``template`` given, entries are validated against its shapes and the
     result contains template values for any params the checkpoint lacks."""
+    mapper = _FAMILY_MAPPERS[family]
     flat: Dict[tuple, np.ndarray] = {}
     skipped = []
     for key, val in state_dict.items():
-        path = _torch_key_to_flax(key)
+        path = mapper(key)
         if path is None:
             skipped.append(key)
             continue
