@@ -77,12 +77,21 @@ class BatchLoader:
             rng.shuffle(order)
             self._epoch += 1
 
+        _FIT_KEYS = ("n_atoms", "n_edges", "n_frags", "n_fconn",
+                     "n_bg_edges", "n_fc_edges")
+        caps = tuple(getattr(self.spec, k) for k in _FIT_KEYS)
+
         i = 0
         while i < len(order):
             window: List[MolGraph] = []
+            totals = [0] * len(_FIT_KEYS)
             while i < len(order) and len(window) < self.batch_size:
                 cand = self.graphs[order[i]]
-                if window and not fits(window + [cand], self.spec):
+                sizes = tuple(getattr(cand, k) for k in _FIT_KEYS)
+                # incremental capacity check (an O(B²) re-sum of the window
+                # per candidate dominated batch prep before)
+                if window and any(t + s > c for t, s, c
+                                  in zip(totals, sizes, caps)):
                     break
                 if not window and not fits([cand], self.spec):
                     if self.on_oversize == "error":
@@ -97,6 +106,7 @@ class BatchLoader:
                     i += 1
                     continue
                 window.append(cand)
+                totals = [t + s for t, s in zip(totals, sizes)]
                 i += 1
             if not window:
                 continue

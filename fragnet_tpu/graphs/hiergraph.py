@@ -321,65 +321,88 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
     if graphs and graphs[0].gene_expr is not None:
         gene_expr = np.zeros((G, graphs[0].gene_expr.shape[-1]), np.float32)
 
-    a0 = e0 = f0 = c0 = eb0 = ec0 = 0
+    # vectorized collate: per-field concatenation + one write into the
+    # padded buffer (a per-graph × per-field Python assignment loop was the
+    # batch-prep hotspot; same values, C-speed copies)
+    n = len(graphs)
+    na = np.fromiter((g.n_atoms for g in graphs), np.int64, n)
+    ne = np.fromiter((g.n_edges for g in graphs), np.int64, n)
+    nf = np.fromiter((g.n_frags for g in graphs), np.int64, n)
+    nc = np.fromiter((g.n_fconn for g in graphs), np.int64, n)
+    neb = np.fromiter((g.n_bg_edges for g in graphs), np.int64, n)
+    nec = np.fromiter((g.n_fc_edges for g in graphs), np.int64, n)
+    a_off = np.concatenate([[0], np.cumsum(na)])
+    e_off = np.concatenate([[0], np.cumsum(ne)])
+    f_off = np.concatenate([[0], np.cumsum(nf)])
+    c_off = np.concatenate([[0], np.cumsum(nc)])
+    Ta, Te, Tf = int(a_off[-1]), int(e_off[-1]), int(f_off[-1])
+    Tc, Teb, Tec = int(c_off[-1]), int(neb.sum()), int(nec.sum())
+
+    def cat(field):
+        return np.concatenate([getattr(g, field) for g in graphs])
+
+    x_atoms[:Ta] = cat("x_atoms")
+    ei = np.concatenate([g.edge_index for g in graphs], axis=1)
+    rep_ae = np.repeat(a_off[:-1], ne)  # per-edge atom offset
+    edge_src[:Te] = ei[0] + rep_ae
+    edge_dst[:Te] = ei[1] + rep_ae
+    edge_attr[:Te] = cat("edge_attr")
+    atom_mask[:Ta] = 1.0
+    edge_mask[:Te] = 1.0
+
+    nf_bonds[:Te] = cat("nf_bonds")
+    # reference unpacks `target, source = edge_index_bonds_graph`
+    # (gat2.py:138): row 0 is the aggregation target → our *_dst.
+    eib = np.concatenate([g.ei_bonds for g in graphs], axis=1)
+    rep_eb = np.repeat(e_off[:-1], neb)
+    bg_dst[:Teb] = eib[0] + rep_eb
+    bg_src[:Teb] = eib[1] + rep_eb
+    ea_bonds[:Teb] = cat("ea_bonds")
+    bg_mask[:Teb] = 1.0
+
+    x_frags[:Tf] = cat("x_frags")
+    # `source, target = frag_index` (gat2.py:283): row 0 is the source.
+    fi = np.concatenate([g.frag_index for g in graphs], axis=1)
+    rep_fc = np.repeat(f_off[:-1], nc)
+    frag_src[:Tc] = fi[0] + rep_fc
+    frag_dst[:Tc] = fi[1] + rep_fc
+    cnx_attr[:Tc] = cat("cnx_attr")
+    frag_mask[:Tf] = 1.0
+    fconn_mask[:Tc] = 1.0
+
+    nf_fbonds[:Tc] = cat("nf_fbonds")
+    # `target, source = edge_index_fbond_graph` (gat2.py:239).
+    eif = np.concatenate([g.ei_fbonds for g in graphs], axis=1)
+    rep_cf = np.repeat(c_off[:-1], nec)
+    fc_dst[:Tec] = eif[0] + rep_cf
+    fc_src[:Tec] = eif[1] + rep_cf
+    ea_fbonds[:Tec] = cat("ea_fbonds")
+    fc_mask[:Tec] = 1.0
+
+    atom_to_frag[:Ta] = cat("atom_to_frag") + np.repeat(f_off[:-1], na)
+    atom_batch[:Ta] = np.repeat(np.arange(n, dtype=np.int32), na)
+    frag_batch[:Tf] = np.repeat(np.arange(n, dtype=np.int32), nf)
+
     for gi, g in enumerate(graphs):
-        na, ne, nf, nc = g.n_atoms, g.n_edges, g.n_frags, g.n_fconn
-        neb, nec = g.n_bg_edges, g.n_fc_edges
-
-        x_atoms[a0 : a0 + na] = g.x_atoms
-        edge_src[e0 : e0 + ne] = g.edge_index[0] + a0
-        edge_dst[e0 : e0 + ne] = g.edge_index[1] + a0
-        edge_attr[e0 : e0 + ne] = g.edge_attr
-        atom_mask[a0 : a0 + na] = 1.0
-        edge_mask[e0 : e0 + ne] = 1.0
-
-        nf_bonds[e0 : e0 + ne] = g.nf_bonds
-        # reference unpacks `target, source = edge_index_bonds_graph`
-        # (gat2.py:138): row 0 is the aggregation target → our *_dst.
-        bg_dst[eb0 : eb0 + neb] = g.ei_bonds[0] + e0
-        bg_src[eb0 : eb0 + neb] = g.ei_bonds[1] + e0
-        ea_bonds[eb0 : eb0 + neb] = g.ea_bonds
-        bg_mask[eb0 : eb0 + neb] = 1.0
-
-        x_frags[f0 : f0 + nf] = g.x_frags
-        # `source, target = frag_index` (gat2.py:283): row 0 is the source.
-        frag_src[c0 : c0 + nc] = g.frag_index[0] + f0
-        frag_dst[c0 : c0 + nc] = g.frag_index[1] + f0
-        cnx_attr[c0 : c0 + nc] = g.cnx_attr
-        frag_mask[f0 : f0 + nf] = 1.0
-        fconn_mask[c0 : c0 + nc] = 1.0
-
-        nf_fbonds[c0 : c0 + nc] = g.nf_fbonds
-        # `target, source = edge_index_fbond_graph` (gat2.py:239).
-        fc_dst[ec0 : ec0 + nec] = g.ei_fbonds[0] + c0
-        fc_src[ec0 : ec0 + nec] = g.ei_fbonds[1] + c0
-        ea_fbonds[ec0 : ec0 + nec] = g.ea_fbonds
-        fc_mask[ec0 : ec0 + nec] = 1.0
-
-        atom_to_frag[a0 : a0 + na] = g.atom_to_frag + f0
-        atom_batch[a0 : a0 + na] = gi
-        frag_batch[f0 : f0 + nf] = gi
-
         yv = g.y.reshape(-1)
         y[gi, : yv.shape[0]] = yv
-        graph_mask[gi] = 1.0
+    graph_mask[:n] = 1.0
 
-        if with_targets:
+    if with_targets and all(g.bnd_lngth is not None for g in graphs):
+        bnd_lngth[:Te] = cat("bnd_lngth")
+        dh_angl[:Te] = cat("dh_angl")
+        bnd_angl[:Ta] = cat("bnd_angl")
+    elif with_targets:
+        for gi, g in enumerate(graphs):  # mixed availability (rare)
             if g.bnd_lngth is not None:
-                bnd_lngth[e0 : e0 + ne] = g.bnd_lngth
-                dh_angl[e0 : e0 + ne] = g.dh_angl
-                bnd_angl[a0 : a0 + na] = g.bnd_angl
-        if protein is not None:
-            protein[gi] = g.protein
-        if gene_expr is not None:
-            gene_expr[gi] = g.gene_expr
-
-        a0 += na
-        e0 += ne
-        f0 += nf
-        c0 += nc
-        eb0 += neb
-        ec0 += nec
+                e0, a0 = int(e_off[gi]), int(a_off[gi])
+                bnd_lngth[e0:e0 + int(ne[gi])] = g.bnd_lngth
+                dh_angl[e0:e0 + int(ne[gi])] = g.dh_angl
+                bnd_angl[a0:a0 + int(na[gi])] = g.bnd_angl
+    if protein is not None:
+        protein[:n] = np.stack([g.protein for g in graphs])
+    if gene_expr is not None:
+        gene_expr[:n] = np.stack([g.gene_expr for g in graphs])
 
     tcsr_kw = {}
     if spec.tcsr:
