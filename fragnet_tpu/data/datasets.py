@@ -84,6 +84,43 @@ class FinetuneData:
         )
 
 
+class FinetuneMultiConfData:
+    """DataFrame → finetune graphs with multiple conformers per SMILES
+    (reference FinetuneMultiConfData, dataset.py:225-270: 10 ETKDG/MMFF
+    conformers each, all sharing the molecule's label)."""
+
+    def __init__(self, target_name: str, data_type: str = "exp1s",
+                 frag_type: str = "brics", num_conf: int = 10,
+                 max_iters: int = 500):
+        self.target = target_name
+        self.data_type = data_type
+        self.frag_type = frag_type
+        self.num_conf = num_conf
+        self.max_iters = max_iters
+
+    def get_ft_dataset(self, df, seed: int = 42) -> List[MolGraph]:
+        from fragnet_tpu.graphs.build import GraphBuilder
+
+        builder = GraphBuilder(self.data_type)
+        if isinstance(self.target, (list, tuple)):
+            targets = df[list(self.target)].values.tolist()
+        else:
+            targets = [[v] for v in df[self.target]]
+        out: List[MolGraph] = []
+        for s, y in zip(df["smiles"], targets):
+            r = engine.mol_3d_multi(s, num_conf=self.num_conf, seed=seed,
+                                    max_iters=self.max_iters)
+            if r is None:
+                continue
+            mol, confs = r
+            for conf, _energy in confs:
+                g = builder.build(mol, conf, y, smiles=s,
+                                  frag_type=self.frag_type)
+                if g is not None:
+                    out.append(g)
+        return out
+
+
 class PretrainData:
     """SMILES → multi-conformer pretrain graphs with geometric targets and
     force-field energy as y (reference get_pt_dataset, dataset.py:19-62)."""

@@ -174,3 +174,21 @@ class TestPersistence:
         assert len(loaded) == len(ft_graphs)
         loaded2 = load_data_parts(str(tmp_path), dedup=False)
         assert len(loaded2) == len(ft_graphs) + 1
+
+
+class TestMultiConfFinetune:
+    def test_multiple_conformers_share_label(self):
+        import pandas as pd
+
+        from fragnet_tpu.data.datasets import FinetuneMultiConfData
+
+        df = pd.DataFrame({"smiles": ["CCO", "CCN"], "y": [1.5, -2.0]})
+        maker = FinetuneMultiConfData("y", num_conf=3, max_iters=50)
+        graphs = maker.get_ft_dataset(df)
+        assert len(graphs) >= 2  # at least one conformer per molecule
+        per = {}
+        for g in graphs:
+            per.setdefault(g.smiles, []).append(float(g.y[0]))
+        assert set(per) == {"CCO", "CCN"}
+        for s, ys in per.items():
+            assert len(set(ys)) == 1  # all conformers share the label
