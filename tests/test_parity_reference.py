@@ -226,6 +226,61 @@ def test_attention_parity(parity_graphs):
         assert tail.size == 0 or np.abs(tail).max() == 0.0
 
 
+def test_training_dynamics_parity(parity_graphs):
+    """End-to-end TRAINING parity: identical weights, identical batch,
+    identical Adam(lr=1e-3) — the per-step MSE training losses match the
+    reference trainer's (train/utils.py:331-351) for 8 consecutive
+    optimizer steps, and so do the post-training predictions. This
+    validates the whole backward pass (all four attention passes, pooling,
+    heads) and the optimizer semantics (torch.optim.Adam vs optax.adam),
+    not just the forward."""
+    torch.manual_seed(21)
+    ref = gat2.FragNetFineTune(
+        n_classes=1, atom_features=167, frag_features=167, edge_features=17,
+        num_layer=2, num_heads=4, drop_ratio=0.0,
+        h1=64, h2=64, h3=64, h4=32, act="relu", emb_dim=128, fthead="FTHead3",
+    ).train()
+    mine = FragNetFineTune(
+        n_classes=1, num_layer=2, num_heads=4, drop_ratio=0.0,
+        h1=64, h2=64, h3=64, h4=32, act="relu", emb_dim=128, fthead="FTHead3",
+    )
+    jbatch, tbatch = _both_batches(parity_graphs)
+    template = mine.init(jax.random.PRNGKey(0), jbatch)
+    params = import_torch_state_dict(_np_state_dict(ref), template=template,
+                                     strict=True)
+
+    from fragnet_tpu.train.loop import TrainState, make_train_step
+    from fragnet_tpu.train.optim import make_optimizer
+
+    lr = 1e-3
+    tx = make_optimizer("adam", lr=lr)
+    state = TrainState.create(params, tx)
+    step = make_train_step(mine, tx, "mse")
+    rng = jax.random.PRNGKey(1)
+
+    opt = torch.optim.Adam(ref.parameters(), lr=lr)
+    mse = torch.nn.MSELoss()
+    y = tbatch["y"].view(-1)
+
+    for i in range(8):
+        opt.zero_grad()
+        t_loss = mse(ref(tbatch).view(-1), y)
+        t_loss.backward()
+        opt.step()
+        state, m_loss = step(state, jbatch, rng)
+        np.testing.assert_allclose(
+            float(m_loss), float(t_loss), rtol=2e-3, atol=2e-4,
+            err_msg=f"training loss diverged at step {i}",
+        )
+
+    with torch.no_grad():
+        ref.eval()
+        ref_pred = ref(tbatch)
+    my_pred = mine.apply(state.params, jbatch, deterministic=True)
+    _close("post-training prediction", ref_pred, my_pred,
+           atol=5e-4, rtol=5e-4)
+
+
 # ---------------------------------------------------------------------------
 # parameter-name inventory vs the reference's surviving state_dict dumps
 # ---------------------------------------------------------------------------
