@@ -26,6 +26,7 @@ class FragNetPreTrain(nn.Module):
     edge_features: int = 17
     fedge_in: int = 6
     fbond_edge_in: int = 6
+    dtype: Optional[object] = None  # encoder compute dtype (None → f32)
 
     def setup(self):
         self.pretrain = FragNet(
@@ -38,6 +39,7 @@ class FragNetPreTrain(nn.Module):
             fedge_in=self.fedge_in,
             fbond_edge_in=self.fbond_edge_in,
             num_heads=self.num_heads,
+            dtype=self.dtype if self.dtype is not None else jnp.float32,
         )
         self.head = PretrainTask(dim_in=self.emb_dim, dim_out=1)
 

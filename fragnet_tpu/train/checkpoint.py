@@ -193,7 +193,11 @@ def import_torch_state_dict(state_dict: Dict[str, Any],
             arr = np.asarray(val.detach().cpu())
         if path[-1] == "kernel":
             arr = arr.T
-        flat[path] = arr
+        # Copy: np.asarray on a torch tensor is a zero-copy VIEW of the
+        # tensor's storage (and .T is a view of that view). Without a copy,
+        # any later in-place mutation of the torch model (e.g. opt.step())
+        # silently changes these imported params too.
+        flat[path] = np.array(arr, copy=True)
 
     if template is not None:
         tflat = traverse_util.flatten_dict(

@@ -51,7 +51,8 @@ def seed_everything(seed: int) -> None:
     np.random.seed(seed)
 
 
-def build_model(opt, n_classes: int, ep_axis: Optional[str] = None):
+def build_model(opt, n_classes: int, ep_axis: Optional[str] = None,
+                dtype=None):
     mv = opt.get("model_version", "gat2")
     m = opt.finetune.model
     if ep_axis is not None and mv != "gat2":
@@ -73,10 +74,13 @@ def build_model(opt, n_classes: int, ep_axis: Optional[str] = None):
         act=m.get("act", "relu"),
         fthead=m.get("fthead", "FTHead3"),
     )
+    from fragnet_tpu.train.fastpath import supports_dtype
+
+    dkw = {"dtype": dtype} if (dtype is not None and supports_dtype(mv)) else {}
     if mv == "gat2":
         from fragnet_tpu.model.finetune import FragNetFineTune
 
-        return FragNetFineTune(**kw, ep_axis=ep_axis)
+        return FragNetFineTune(**kw, ep_axis=ep_axis, **dkw)
     if mv == "gat2_lite":
         from fragnet_tpu.model.variants import FragNetFineTuneLite
 
@@ -101,6 +105,7 @@ def build_model(opt, n_classes: int, ep_axis: Optional[str] = None):
             frag_features=kw["frag_features"],
             edge_features=kw["edge_features"],
             fedge_in=kw["fedge_in"], fbond_edge_in=kw["fbond_edge_in"],
+            **dkw,
         )
     if mv == "gat2_transformer2":
         from fragnet_tpu.model.transformer import FragNetFineTuneTransformer2
@@ -117,6 +122,7 @@ def build_model(opt, n_classes: int, ep_axis: Optional[str] = None):
             frag_features=kw["frag_features"],
             edge_features=kw["edge_features"],
             fedge_in=kw["fedge_in"], fbond_edge_in=kw["fbond_edge_in"],
+            **dkw,
         )
     if mv == "gat2_multitask":
         from fragnet_tpu.model.transformer import FragNetFineTuneMultiTask
@@ -132,6 +138,7 @@ def build_model(opt, n_classes: int, ep_axis: Optional[str] = None):
             frag_features=kw["frag_features"],
             edge_features=kw["edge_features"],
             fedge_in=kw["fedge_in"], fbond_edge_in=kw["fbond_edge_in"],
+            **dkw,
         )
     if mv in ("gat", "gcn", "gcn3"):
         from fragnet_tpu.model import ablations
@@ -230,6 +237,16 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
     # mesh, dist/edge_partition.py — the SURVEY §5.7 scale-out mode)
     dist = opt.get("dist", None)
     dist_mode = dist.get("mode", "none") if dist else "none"
+    # fast-path policy (train/fastpath.py): TCSR tile metadata for the fused
+    # Pallas kernel + bf16 compute on TPU by default, HBM dataset caching
+    # when the padded set fits — the bench-grade path as the product path.
+    from fragnet_tpu.train import fastpath
+
+    fp = fastpath.resolve(ft, model_version=opt.get("model_version", "gat2"),
+                          dist_mode=dist_mode)
+    if not quiet:
+        print(f"fastpath: tcsr={fp.tcsr} dtype={fp.dtype_name} "
+              f"cache={fp.cache} backend={jax.default_backend()}")
     mesh = None
     if dist_mode == "ep":
         from fragnet_tpu.dist.data_parallel import make_mesh
@@ -248,9 +265,10 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
         mesh = make_mesh(n_dev, axis="data")
         spec = spec_for(train_g + val_g + test_g, batch_size=bs)
     else:
-        spec = spec_for(train_g + val_g + test_g, batch_size=bs)
+        spec = spec_for(train_g + val_g + test_g, batch_size=bs,
+                        tcsr=fp.tcsr)
 
-    model = build_model(opt, n_classes=n_tasks)
+    model = build_model(opt, n_classes=n_tasks, dtype=fp.dtype)
 
     n_buckets = int(ft.get("n_buckets", 1))
     if dist_mode == "dp":
@@ -269,13 +287,13 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
 
         train_loader = BucketedBatchLoader(
             train_g, bs, n_buckets=n_buckets, shuffle=True, seed=seed,
-            n_tasks=n_tasks)
+            n_tasks=n_tasks, spec_kwargs={"tcsr": fp.tcsr})
         val_loader = BucketedBatchLoader(
             val_g, bs, n_buckets=n_buckets, n_tasks=n_tasks,
-            on_oversize="error")
+            on_oversize="error", spec_kwargs={"tcsr": fp.tcsr})
         test_loader = BucketedBatchLoader(
             test_g, bs, n_buckets=n_buckets, n_tasks=n_tasks,
-            on_oversize="error")
+            on_oversize="error", spec_kwargs={"tcsr": fp.tcsr})
     else:
         train_loader = BatchLoader(train_g, bs, spec=spec, shuffle=True,
                                    seed=seed, n_tasks=n_tasks)
@@ -285,6 +303,18 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
                                  on_oversize="error")
         test_loader = BatchLoader(test_g, bs, spec=spec, n_tasks=n_tasks,
                                   on_oversize="error")
+    if dist_mode == "none":
+        # HBM-resident caching: after epoch 1 the input pipeline costs
+        # nothing (DeviceCacheLoader; reshuffles batch ORDER per epoch)
+        train_loader = fastpath.maybe_cache(
+            train_loader, spec=getattr(train_loader, "spec", spec),
+            n_tasks=n_tasks, policy=fp.cache, seed=seed)
+        val_loader = fastpath.maybe_cache(
+            val_loader, spec=getattr(val_loader, "spec", spec),
+            n_tasks=n_tasks, policy=fp.cache, seed=seed + 1)
+        test_loader = fastpath.maybe_cache(
+            test_loader, spec=getattr(test_loader, "spec", spec),
+            n_tasks=n_tasks, policy=fp.cache, seed=seed + 2)
 
     # init
     rng = jax.random.PRNGKey(seed)
@@ -381,19 +411,29 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
     profile_dir = (os.path.join(exp_dir, "profile")
                    if ft.get("profile", False) else None)
 
+    # throughput accounting: real message edges over all 4 levels × layers
+    # (the bench.py metric) — logged per epoch so a CLI run reports the same
+    # number BENCH_r*.json records
+    epoch_edges = fastpath.epoch_message_edges(
+        train_g, num_layer=int(ft.model.get("num_layer", 4)))
+
     rng = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
     for epoch in range(n_epochs):
         rng, sub = jax.random.split(rng)
+        te0 = time.perf_counter()
         with profile_trace(profile_dir if epoch == 1 else None):
             state, train_loss = trainer.train_epoch(state, train_loader, sub)
+        edges_per_sec = epoch_edges / max(time.perf_counter() - te0, 1e-9)
         val_score = trainer.validate(state.params, val_loader)
         es(val_score, state.params)
         logger.log("train/loss", train_loss, epoch)
+        logger.log("train/edges_per_sec", edges_per_sec, epoch)
         logger.log("val/score", val_score, epoch)
         if not quiet and (epoch % 10 == 0 or epoch == n_epochs - 1):
             print(f"epoch {epoch:4d} train_loss {train_loss:.5f} "
                   f"val {val_score:.5f} best {-(es.best_score or 0):.5f} "
+                  f"{edges_per_sec / 1e6:.2f}M edges/s "
                   f"[{time.time() - t0:.1f}s]")
         if es.early_stop:
             if not quiet:

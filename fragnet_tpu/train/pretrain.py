@@ -185,16 +185,26 @@ def run_aux_pretrain(opt, quiet: bool = False):
     val_g = [graphs[i] for i in order[:n_val]]
     train_g = [graphs[i] for i in order[n_val:]]
 
+    from fragnet_tpu.train import fastpath
+
+    fp = fastpath.resolve(pt, model_version="gat2")
     bs = int(pt.get("batch_size", 32))
-    spec = spec_for(graphs, batch_size=bs)
+    spec = spec_for(graphs, batch_size=bs, tcsr=fp.tcsr)
     n_tasks_data = 1 if (mode == "structure" or loss_name == "cel") else n_classes
     train_loader = BatchLoader(train_g, bs, spec=spec, shuffle=True,
                                seed=seed, n_tasks=n_tasks_data)
     val_loader = BatchLoader(val_g, bs, spec=spec, n_tasks=n_tasks_data)
+    train_loader = fastpath.maybe_cache(train_loader, spec=spec,
+                                        n_tasks=n_tasks_data,
+                                        policy=fp.cache, seed=seed)
+    val_loader = fastpath.maybe_cache(val_loader, spec=spec,
+                                      n_tasks=n_tasks_data,
+                                      policy=fp.cache, seed=seed + 1)
 
     m = pt.get("model", {})
     model = FragNetFineTune(
         n_classes=n_classes,
+        dtype=fp.dtype,
         num_layer=int(m.get("num_layer", 4)),
         num_heads=int(m.get("num_heads", 4)),
         drop_ratio=float(m.get("drop_ratio", 0.15)),
@@ -308,13 +318,25 @@ def run_pretrain(opt, quiet: bool = False):
     train_g = [graphs[i] for i in order[n_val:]]
 
     bs = int(pt.get("batch_size", 32))
-    spec = spec_for(graphs, batch_size=bs)
+    model_version = pt.get("model_version", "gat2")
+    # fast path: TCSR + bf16 + HBM caching on TPU by default (fastpath.py);
+    # the pretrain model family maps onto the gat2 FragNet core
+    from fragnet_tpu.train import fastpath
+
+    fp = fastpath.resolve(pt, model_version=model_version)
+    spec = spec_for(graphs, batch_size=bs, tcsr=fp.tcsr)
     train_loader = BatchLoader(train_g, bs, spec=spec, shuffle=True, seed=seed,
                                with_targets=True)
     val_loader = BatchLoader(val_g, bs, spec=spec, with_targets=True)
+    train_loader = fastpath.maybe_cache(train_loader, spec=spec,
+                                        policy=fp.cache, seed=seed)
+    val_loader = fastpath.maybe_cache(val_loader, spec=spec,
+                                      policy=fp.cache, seed=seed + 1)
+    if not quiet:
+        print(f"fastpath: tcsr={fp.tcsr} dtype={fp.dtype_name} "
+              f"cache={fp.cache}")
 
     m = pt.get("model", {})
-    model_version = pt.get("model_version", "gat2")
     kw = dict(
         num_layer=int(m.get("num_layer", 4) if hasattr(m, "get") else 4),
         num_heads=int(m.get("num_heads", 4) if hasattr(m, "get") else 4),
@@ -325,6 +347,7 @@ def run_pretrain(opt, quiet: bool = False):
         edge_features=int(opt.get("edge_features", 17)),
         fedge_in=int(opt.get("fedge_in", 6)),
         fbond_edge_in=int(opt.get("fbond_edge_in", 6)),
+        dtype=fp.dtype,
     )
     if model_version == "gat2_masked":
         model = FragNetPreTrainMasked(**kw)

@@ -194,11 +194,22 @@ def run_task(task: str, opt, quiet: bool = False):
     ys = np.array([g.y[0] for g in train_g])
     label_mean, label_sdev = float(ys.mean()), float(ys.std())
 
+    # fast path: the DTA/CDRP drug encoder is the gat2 FragNet core, so the
+    # TCSR/Pallas path and HBM caching apply here too (fastpath.py)
+    from fragnet_tpu.train import fastpath
+
+    fp = fastpath.resolve(ft, model_version="gat2")
     bs = int(ft.get("batch_size", 16))
-    spec = spec_for(graphs, batch_size=bs)
+    spec = spec_for(graphs, batch_size=bs, tcsr=fp.tcsr)
     train_loader = BatchLoader(train_g, bs, spec=spec, shuffle=True, seed=seed)
     val_loader = BatchLoader(val_g, bs, spec=spec)
     test_loader = BatchLoader(test_g, bs, spec=spec)
+    train_loader = fastpath.maybe_cache(train_loader, spec=spec,
+                                        policy=fp.cache, seed=seed)
+    val_loader = fastpath.maybe_cache(val_loader, spec=spec,
+                                      policy=fp.cache, seed=seed + 1)
+    test_loader = fastpath.maybe_cache(test_loader, spec=spec,
+                                       policy=fp.cache, seed=seed + 2)
 
     rng = jax.random.PRNGKey(seed)
     init_batch = next(iter(train_loader))

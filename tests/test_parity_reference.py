@@ -281,6 +281,109 @@ def test_training_dynamics_parity(parity_graphs):
            atol=5e-4, rtol=5e-4)
 
 
+def test_training_dynamics_parity_clsf(parity_graphs):
+    """Classification twin of the dynamics test: 4 layers, dropout off,
+    masked BCE with missing labels (train/utils.py:412-429 semantics: labels
+    < −0.5 are excluded from both the loss matrix and the denominator) — 6
+    Adam steps of loss trajectory + post-training logits match."""
+    import dataclasses as _dc
+
+    torch.manual_seed(23)
+    n_tasks = 2
+    # binary labels with a missing (−1) entry pattern over 2 tasks
+    graphs = []
+    for i, g in enumerate(parity_graphs):
+        y0 = float(np.asarray(g.y, np.float32).reshape(-1)[0])
+        lab = [1.0 if y0 > 0 else 0.0,
+               -1.0 if i % 3 == 0 else (0.0 if y0 > -1 else 1.0)]
+        graphs.append(_dc.replace(g, y=np.asarray(lab, np.float32)))
+
+    ref = gat2.FragNetFineTune(
+        n_classes=n_tasks, atom_features=167, frag_features=167,
+        edge_features=17, num_layer=4, num_heads=4, drop_ratio=0.0,
+        h1=64, h2=64, h3=64, h4=32, act="relu", emb_dim=128, fthead="FTHead3",
+    ).train()
+    mine = FragNetFineTune(
+        n_classes=n_tasks, num_layer=4, num_heads=4, drop_ratio=0.0,
+        h1=64, h2=64, h3=64, h4=32, act="relu", emb_dim=128, fthead="FTHead3",
+    )
+    jbatch = pad_batch(graphs, exact_padspec(graphs), n_tasks=n_tasks)
+    tbatch = reference_batch(graphs, n_tasks=n_tasks)
+    template = mine.init(jax.random.PRNGKey(0), jbatch)
+    params = import_torch_state_dict(_np_state_dict(ref), template=template,
+                                     strict=True)
+
+    from fragnet_tpu.train.loop import TrainState, make_train_step
+    from fragnet_tpu.train.optim import make_optimizer
+
+    lr = 1e-3
+    tx = make_optimizer("adam", lr=lr)
+    state = TrainState.create(params, tx)
+    step = make_train_step(mine, tx, "bce")
+    rng = jax.random.PRNGKey(1)
+
+    opt = torch.optim.Adam(ref.parameters(), lr=lr)
+    crit = torch.nn.BCEWithLogitsLoss(reduction="none")
+
+    for i in range(6):
+        out = ref(tbatch)
+        labels = tbatch["y"].view(out.shape)
+        is_valid = tbatch["y"] > -0.5
+        loss_mat = torch.where(is_valid, crit(out, labels),
+                               torch.zeros_like(out))
+        opt.zero_grad()
+        t_loss = torch.sum(loss_mat) / torch.sum(is_valid)
+        t_loss.backward()
+        opt.step()
+        state, m_loss = step(state, jbatch, rng)
+        np.testing.assert_allclose(
+            float(m_loss), float(t_loss), rtol=2e-3, atol=2e-4,
+            err_msg=f"BCE training loss diverged at step {i}",
+        )
+
+    with torch.no_grad():
+        ref.eval()
+        ref_pred = ref(tbatch)
+    my_pred = mine.apply(state.params, jbatch, deterministic=True)
+    _close("post-training logits", ref_pred, my_pred, atol=1e-3, rtol=1e-3)
+
+    # validation metric parity: −mean-per-task ROC-AUC (utils.py:466-492)
+    from sklearn.metrics import roc_auc_score
+
+    from fragnet_tpu.train.loop import mean_per_task_auc
+
+    t_y = tbatch["y"].numpy()
+    t_p = ref_pred.numpy()
+    rocs = []
+    for t in range(t_y.shape[1]):
+        if (t_y[:, t] == 1).sum() > 0 and (t_y[:, t] == 0).sum() > 0:
+            v = t_y[:, t] > -0.5
+            rocs.append(roc_auc_score(t_y[v, t], t_p[v, t]))
+    mask = np.asarray(jbatch.graph_mask) > 0
+    m_auc = mean_per_task_auc(
+        np.asarray(jbatch.y)[mask],
+        np.asarray(my_pred).reshape(np.asarray(jbatch.y).shape)[mask])
+    np.testing.assert_allclose(m_auc, np.mean(rocs), rtol=1e-5)
+
+
+def test_importer_copies_storage():
+    """Imported params must never alias torch parameter storage: mutating
+    the torch model afterwards (e.g. opt.step()) must not change them
+    (round-2 root cause: np.asarray views, checkpoint.py:191-196)."""
+    torch.manual_seed(1)
+    lin = torch.nn.Linear(4, 3)
+    sd = {"fthead.lin1.weight": lin.weight.detach(),
+          "fthead.lin1.bias": lin.bias.detach()}
+    params = import_torch_state_dict(sd)
+    before = np.array(params["params"]["head"]["lin1"]["kernel"])
+    with torch.no_grad():
+        lin.weight.add_(1.0)
+        lin.bias.add_(1.0)
+    after = np.asarray(params["params"]["head"]["lin1"]["kernel"])
+    np.testing.assert_array_equal(before, after)
+    assert not np.allclose(after.T, lin.weight.detach().numpy())
+
+
 # ---------------------------------------------------------------------------
 # parameter-name inventory vs the reference's surviving state_dict dumps
 # ---------------------------------------------------------------------------
