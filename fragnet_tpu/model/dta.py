@@ -44,7 +44,7 @@ class _EncoderLayer(nn.Module):
         )
         h = nn.Dense(self.intermediate, kernel_init=torch_linear_init,
                      name="ffn1")(x)
-        h = nn.gelu(h, approximate=False)
+        h = nn.relu(h)  # DeepTTC Intermediate uses ReLU (drug_encoder.py:137-140)
         h = nn.Dense(self.emb_dim, kernel_init=torch_linear_init,
                      name="ffn2")(h)
         x = nn.LayerNorm(epsilon=1e-12, name="ln2")(
@@ -130,6 +130,14 @@ class DTAModel(nn.Module):
     fedge_in: int = 6
     fbond_edge_in: int = 6
     protein_encoder: str = "transformer"  # or "cnn" (DTAModel2)
+    # protein-transformer hyperparams (reference fixes these at
+    # dta/model.py:52-60; vocab is 25 there — a latent overflow for 'Z'
+    # tokens (id 25), so the safe default here is 26)
+    protein_vocab_size: int = 26
+    protein_layers: int = 8
+    protein_heads: int = 8
+    protein_intermediate: int = 512
+    protein_max_len: int = 1000
 
     def setup(self):
         self.drug_model = FragNetFineTuneBase(
@@ -140,7 +148,12 @@ class DTAModel(nn.Module):
             fbond_edge_in=self.fbond_edge_in,
         )
         if self.protein_encoder == "transformer":
-            self.target_model = ProteinTransformer(emb_dim=128)
+            self.target_model = ProteinTransformer(
+                vocab_size=self.protein_vocab_size, emb_dim=128,
+                n_layers=self.protein_layers, n_heads=self.protein_heads,
+                intermediate=self.protein_intermediate,
+                max_len=self.protein_max_len,
+            )
             target_dim = 128
         else:
             self.target_model = ProteinCNN()

@@ -44,8 +44,20 @@ def pretrain_loss(preds, batch, compat_loss_overwrite: bool = False) -> jnp.ndar
         jnp.sum(g_mask), 1.0
     )
     if compat_loss_overwrite:
-        # reference quirk: loss = dihedral + angle + dihedral + energy
-        return loss_dihed + loss_angle + loss_dihed + loss_e
+        # Reference quirks reproduced exactly (pretrain_utils.py:22-26):
+        # (1) loss_lngth is overwritten by the dihedral term, so the total is
+        #     angle + 2·dihedral + energy;
+        # (2) that dihedral term is MSELoss(da_pred (E,1), dh_true (E,)) —
+        #     a silent torch broadcast to (E,E). Its mean decomposes into
+        #     per-array moments, computable in O(E):
+        #     mean_{i,j}(p_i − t_j)² = E[p²] − 2·E[p]·E[t] + E[t²].
+        ne = jnp.maximum(jnp.sum(batch.edge_mask), 1.0)
+        p = da[:, 0] * batch.edge_mask
+        t = batch.dh_angl.reshape(-1) * batch.edge_mask
+        bcast_dihed = (jnp.sum(p * p) / ne
+                       - 2.0 * (jnp.sum(p) / ne) * (jnp.sum(t) / ne)
+                       + jnp.sum(t * t) / ne)
+        return bcast_dihed + loss_angle + bcast_dihed + loss_e
     return loss_lngth + loss_angle + loss_dihed + loss_e
 
 
