@@ -145,7 +145,9 @@ def canonicalize(s: str) -> Optional[str]:
 
 
 def murcko_scaffold_smiles(s: str, include_chirality: bool = False) -> Optional[str]:
-    """Scaffold SMILES used as the scaffold-split key."""
+    """Scaffold SMILES used as the scaffold-split key. Both reference
+    splitters pass include_chirality=True (splitters_molebert.py:79,
+    splitters.py:61) — stereo SMILES must yield stereo-distinct keys."""
     if HAVE_RDKIT:  # pragma: no cover
         return _Murcko.MurckoScaffoldSmiles(smiles=s, includeChirality=include_chirality)
     from fragnet_tpu.chem.fragments import murcko_scaffold_atoms
@@ -156,28 +158,46 @@ def murcko_scaffold_smiles(s: str, include_chirality: bool = False) -> Optional[
     atoms = murcko_scaffold_atoms(mol)
     if not atoms:
         return ""
-    sub = _extract_submol(mol, atoms)
+    sub = _extract_submol(mol, atoms, include_chirality=include_chirality)
     return smi.MolToSmiles(sub)
 
 
-def _extract_submol(mol: Molecule, atom_indices) -> Molecule:
+def _extract_submol(mol: Molecule, atom_indices,
+                    include_chirality: bool = True) -> Molecule:
+    from fragnet_tpu.chem.mol import CHI_UNSPECIFIED, Atom
+
     keep = sorted(atom_indices)
+    keep_set = set(keep)
     remap = {a: i for i, a in enumerate(keep)}
     out = Molecule()
-    from fragnet_tpu.chem.mol import Atom
 
     for a_idx in keep:
         a = mol.atoms[a_idx]
-        out.add_atom(
-            Atom(
-                symbol=a.symbol,
-                formal_charge=a.formal_charge,
-                explicit_hs=None,
-                is_aromatic=a.is_aromatic,
-                chiral_tag=a.chiral_tag,
-                isotope=a.isotope,
-            )
+        tag = a.chiral_tag if include_chirality else CHI_UNSPECIFIED
+        # Remap the written neighbor order so the writer can recompute @/@@
+        # parity in the submol. Each removed substituent becomes an implicit
+        # H: one removal substitutes -1 in place (parity preserved); two or
+        # more leave ≥2 equivalent Hs — no longer a stereocenter, drop the tag.
+        order = None
+        if tag != CHI_UNSPECIFIED and a.parse_nbr_order is not None:
+            order = []
+            for v in a.parse_nbr_order:
+                if v == -1 or v in keep_set:
+                    order.append(remap[v] if v != -1 else -1)
+                else:
+                    order.append(-1)
+            if order.count(-1) > 1:  # ≥2 equivalent Hs → not a stereocenter
+                tag, order = CHI_UNSPECIFIED, None
+        new = Atom(
+            symbol=a.symbol,
+            formal_charge=a.formal_charge,
+            explicit_hs=None,
+            is_aromatic=a.is_aromatic,
+            chiral_tag=tag,
+            isotope=a.isotope,
         )
+        new.parse_nbr_order = order
+        out.add_atom(new)
     for b in mol.bonds:
         if b.begin in remap and b.end in remap:
             out.add_bond(remap[b.begin], remap[b.end], b.order, b.is_aromatic)

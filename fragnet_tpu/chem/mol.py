@@ -106,6 +106,12 @@ class Atom:
     implicit_hs: int = 0
     in_ring: bool = False
     hybridization: str = HYB_UNSPECIFIED
+    # SMILES-written neighbor order for chiral atoms (atom indices; -1 marks
+    # the in-bracket implicit H slot). Filled by the parser; the writer uses
+    # it to recompute @/@@ parity relative to the OUTPUT neighbor order —
+    # the tag symbol is only meaningful w.r.t. a specific listing order.
+    parse_nbr_order: Optional[List[int]] = dataclasses.field(
+        default=None, repr=False)
     _mol: Optional["Molecule"] = dataclasses.field(default=None, repr=False)
 
     @property

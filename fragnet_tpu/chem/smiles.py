@@ -62,18 +62,30 @@ def _parse(smiles: str) -> Molecule:
     stack: List[Tuple[Optional[int], None]] = []
     # ring closure registry: number -> (atom idx, bond symbol or None, dir)
     ring_open: Dict[int, Tuple[int, Optional[str], str]] = {}
+    # written neighbor order per atom (OpenSMILES chirality accounting:
+    # preceding atom, then the in-bracket H (-1), then ring digits and
+    # subsequent neighbors in written order). Ring digits reserve a slot at
+    # the position the digit appears; it is filled when the ring closes.
+    nbr_order: List[list] = []
 
     i = 0
     n = len(smiles)
 
     def attach(new_idx: int) -> None:
         nonlocal prev_atom, pending_bond, pending_aromatic, pending_dir
+        while len(nbr_order) <= new_idx:
+            nbr_order.append([])
         if prev_atom is not None:
             order, arom = _resolve_bond(
                 pending_bond, pending_aromatic,
                 mol.atoms[prev_atom], mol.atoms[new_idx],
             )
             mol.add_bond(prev_atom, new_idx, order, arom, pending_dir)
+            nbr_order[new_idx].append(prev_atom)
+            nbr_order[prev_atom].append(new_idx)
+        a = mol.atoms[new_idx]
+        if a.chiral_tag != CHI_UNSPECIFIED and (a.explicit_hs or 0) >= 1:
+            nbr_order[new_idx].append(-1)
         prev_atom = new_idx
         pending_bond = None
         pending_aromatic = False
@@ -150,10 +162,14 @@ def _parse(smiles: str) -> Molecule:
                 if open_atom == prev_atom:
                     raise SmilesError("ring closure to self")
                 mol.add_bond(open_atom, prev_atom, order, arom, direction)
+                slot = nbr_order[open_atom].index(("r", num))
+                nbr_order[open_atom][slot] = prev_atom
+                nbr_order[prev_atom].append(open_atom)
                 pending_bond = None
                 pending_dir = DIR_NONE
             else:
                 ring_open[num] = (prev_atom, pending_bond, pending_dir)
+                nbr_order[prev_atom].append(("r", num))
                 pending_bond = None
                 pending_dir = DIR_NONE
         elif ch in " \t":
@@ -167,6 +183,9 @@ def _parse(smiles: str) -> Molecule:
         raise SmilesError(f"unclosed ring bonds: {sorted(ring_open)}")
     if not mol.atoms:
         raise SmilesError("no atoms parsed")
+    for idx, order in enumerate(nbr_order):
+        if mol.atoms[idx].chiral_tag != CHI_UNSPECIFIED:
+            mol.atoms[idx].parse_nbr_order = list(order)
     return mol.finalize()
 
 
@@ -389,7 +408,44 @@ def MolToSmiles(mol: Molecule, canonical: bool = True) -> str:
             return "#"
         return ""  # single & aromatic implicit
 
-    def atom_token(a: Atom) -> str:
+    def _perm_parity(src: list, dst: list) -> int:
+        """Parity (0 even / 1 odd) of the permutation taking ``src`` to
+        ``dst`` (equal multisets of distinct items)."""
+        pos = {v: i for i, v in enumerate(src)}
+        perm = [pos[v] for v in dst]
+        inv = sum(
+            1
+            for i in range(len(perm))
+            for j in range(i + 1, len(perm))
+            if perm[i] > perm[j]
+        )
+        return inv % 2
+
+    def out_chiral_tag(a: Atom, u: int, parent: Optional[int]) -> str:
+        """@/@@ recomputed for the OUTPUT neighbor order (OpenSMILES: the
+        written tag's handedness is relative to the listing order — parent,
+        in-bracket H, then ring digits and children as emitted). If the
+        parse-time order is unavailable or the neighbor sets differ (e.g.
+        scaffold extraction removed substituents), the tag is kept verbatim
+        (best-effort)."""
+        tag = a.chiral_tag
+        if a.parse_nbr_order is None:
+            return tag
+        out_order: list = [] if parent is None else [parent]
+        if a.GetTotalNumHs() >= 1:
+            out_order.append(-1)
+        for bi in ring_bonds_at[u]:
+            b = mol.bonds[bi]
+            out_order.append(b.end if b.begin == u else b.begin)
+        out_order.extend(v for _, v in tree_children[u])
+        if sorted(map(str, a.parse_nbr_order)) != sorted(map(str, out_order)):
+            return tag
+        if _perm_parity(a.parse_nbr_order, out_order):
+            return (CHI_TETRAHEDRAL_CW if tag == CHI_TETRAHEDRAL_CCW
+                    else CHI_TETRAHEDRAL_CCW)
+        return tag
+
+    def atom_token(a: Atom, u: int, parent: Optional[int]) -> str:
         needs_brackets = (
             a.symbol not in ORGANIC_SUBSET
             or a.formal_charge != 0
@@ -407,9 +463,11 @@ def MolToSmiles(mol: Molecule, canonical: bool = True) -> str:
         if a.isotope:
             body += str(a.isotope)
         body += sym
-        if a.chiral_tag == CHI_TETRAHEDRAL_CCW:
+        tag = out_chiral_tag(a, u, parent) if a.chiral_tag != CHI_UNSPECIFIED \
+            else a.chiral_tag
+        if tag == CHI_TETRAHEDRAL_CCW:
             body += "@"
-        elif a.chiral_tag == CHI_TETRAHEDRAL_CW:
+        elif tag == CHI_TETRAHEDRAL_CW:
             body += "@@"
         hs = a.GetTotalNumHs()
         if hs == 1:
@@ -423,9 +481,9 @@ def MolToSmiles(mol: Molecule, canonical: bool = True) -> str:
         return f"[{body}]"
 
     # ---- pass 2: emit -----------------------------------------------------
-    def write(u: int) -> str:
+    def write(u: int, parent: Optional[int] = None) -> str:
         a = mol.atoms[u]
-        out = [atom_token(a)]
+        out = [atom_token(a, u, parent)]
         for bi in ring_bonds_at[u]:
             b = mol.bonds[bi]
             num = ring_num[bi]
@@ -433,7 +491,7 @@ def MolToSmiles(mol: Molecule, canonical: bool = True) -> str:
         children = tree_children[u]
         for k, (bi, v) in enumerate(children):
             b = mol.bonds[bi]
-            sub = bond_symbol(b) + write(v)
+            sub = bond_symbol(b) + write(v, u)
             out.append(f"({sub})" if k < len(children) - 1 else sub)
         return "".join(out)
 

@@ -2,18 +2,27 @@
 
 * ``scaffold_split``        — deterministic MoleBert split (the split behind
   the reference's published numbers, fragnet/dataset/splitters_molebert.py:
-  32-136): group by Murcko scaffold, sort scaffold sets (by size desc, then
+  32-136): group by Murcko scaffold with ``include_chirality=True``
+  (splitters_molebert.py:79), sort scaffold sets (by size desc, then
   first-appearance), fill train/val/test to 80/10/10.
-* ``random_scaffold_split`` — scaffold groups shuffled into splits
-  (splitters_molebert.py:137-209).
-* ``random_split``          — seeded uniform split (splitters_molebert.py:210).
-* ``cv_random_split``       — k-fold (splitters_molebert.py:283).
+* ``random_scaffold_split`` — chainer-chemistry style: scaffold groups
+  permuted by ``np.random.RandomState(seed)``, filled valid → test → train
+  (splitters_molebert.py:137-209 — note the fill ORDER; train is the
+  remainder).
+* ``random_split``          — ``random.seed(seed)`` + ``random.shuffle``
+  (splitters_molebert.py:210-280; Python's Mersenne stream, so membership
+  reproduces the reference exactly).
+* ``cv_random_split``       — the reference's is StratifiedKFold(10)
+  (splitters_molebert.py:283-317); exposed here as ``cv_stratified_split``,
+  while ``cv_random_split`` keeps the plain k-fold used by train/cv.py.
 * ``deepchem_scaffold_split`` — DeepChem-style greedy large-sets-first
-  (fragnet/dataset/splitters.py:53-173).
+  (fragnet/dataset/splitters.py:53-173, include_chirality=True default
+  at :61).
 """
 
 from __future__ import annotations
 
+import random as _pyrandom
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -26,10 +35,11 @@ def generate_scaffold(smiles: str, include_chirality: bool = False) -> Optional[
     return engine.murcko_scaffold_smiles(smiles, include_chirality)
 
 
-def _scaffold_sets(smiles_list: Sequence[str]) -> Dict[str, List[int]]:
+def _scaffold_sets(smiles_list: Sequence[str],
+                   include_chirality: bool = True) -> Dict[str, List[int]]:
     sets: Dict[str, List[int]] = defaultdict(list)
     for i, s in enumerate(smiles_list):
-        sc = generate_scaffold(s)
+        sc = generate_scaffold(s, include_chirality)
         if sc is None:
             sc = f"__invalid_{i}"
         sets[sc].append(i)
@@ -41,13 +51,15 @@ def scaffold_split(
     frac_train: float = 0.8,
     frac_valid: float = 0.1,
     frac_test: float = 0.1,
+    include_chirality: bool = True,
 ) -> Tuple[List[int], List[int], List[int]]:
     """Deterministic MoleBert scaffold split (splitters_molebert.py:32-136):
-    scaffold sets sorted by (set size desc, first index asc); greedily fill
-    train until the train cutoff, then valid, then test."""
+    chirality-aware scaffold keys (:79), sets sorted by (size desc, first
+    index asc); greedily fill train until the train cutoff, then valid, then
+    test."""
     np.testing.assert_almost_equal(frac_train + frac_valid + frac_test, 1.0)
     n = len(smiles_list)
-    sets = _scaffold_sets(smiles_list)
+    sets = _scaffold_sets(smiles_list, include_chirality)
     # MoleBert: sort sets by size (desc), tie-break by smallest index
     all_sets = sorted(
         sets.values(), key=lambda s: (len(s), s[0]), reverse=True
@@ -74,22 +86,27 @@ def random_scaffold_split(
     frac_valid: float = 0.1,
     frac_test: float = 0.1,
     seed: int = 0,
+    include_chirality: bool = True,
 ) -> Tuple[List[int], List[int], List[int]]:
-    rng = np.random.default_rng(seed)
-    groups = list(_scaffold_sets(smiles_list).values())
-    perm = rng.permutation(len(groups))
+    """Reference semantics exactly (splitters_molebert.py:137-209): scaffold
+    groups in first-appearance order, permuted with
+    ``np.random.RandomState(seed)`` (the legacy MT19937 stream), filled
+    valid-first then test (floor cutoffs), train takes the remainder."""
     n = len(smiles_list)
-    n_train = int(frac_train * n)
-    n_valid = int(frac_valid * n)
+    groups = list(_scaffold_sets(smiles_list, include_chirality).values())
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(len(groups))
+    n_valid = int(np.floor(frac_valid * n))
+    n_test = int(np.floor(frac_test * n))
     train, valid, test = [], [], []
     for gi in perm:
         g = groups[gi]
-        if len(train) + len(g) <= n_train:
-            train.extend(g)
-        elif len(valid) + len(g) <= n_valid:
+        if len(valid) + len(g) <= n_valid:
             valid.extend(g)
-        else:
+        elif len(test) + len(g) <= n_test:
             test.extend(g)
+        else:
+            train.extend(g)
     return train, valid, test
 
 
@@ -98,10 +115,12 @@ def deepchem_scaffold_split(
     frac_train: float = 0.8,
     frac_valid: float = 0.1,
     frac_test: float = 0.1,
+    include_chirality: bool = True,
 ) -> Tuple[List[int], List[int], List[int]]:
-    """DeepChem ScaffoldSplitter (splitters.py:53-173): sets sorted by size
-    desc; fill train, spill to valid, then test."""
-    sets = _scaffold_sets(smiles_list)
+    """DeepChem ScaffoldSplitter (splitters.py:53-173, include_chirality
+    defaults True at :61): sets sorted by size desc; fill train, spill to
+    valid, then test."""
+    sets = _scaffold_sets(smiles_list, include_chirality)
     groups = sorted(sets.values(), key=lambda s: (len(s), -min(s)), reverse=True)
     n = len(smiles_list)
     train_cut = frac_train * n
@@ -125,18 +144,38 @@ def random_split(
     frac_test: float = 0.1,
     seed: int = 0,
 ) -> Tuple[List[int], List[int], List[int]]:
-    rng = np.random.default_rng(seed)
-    perm = rng.permutation(n)
+    """Reference semantics exactly (splitters_molebert.py:249-253):
+    ``random.seed(seed)`` + ``random.shuffle`` over range(n), sliced by
+    int-truncated cutoffs — membership reproduces the reference."""
+    np.testing.assert_almost_equal(frac_train + frac_valid + frac_test, 1.0)
+    all_idx = list(range(n))
+    rng = _pyrandom.Random(seed)
+    rng.shuffle(all_idx)
     n_train = int(frac_train * n)
     n_valid = int(frac_valid * n)
     return (
-        perm[:n_train].tolist(),
-        perm[n_train : n_train + n_valid].tolist(),
-        perm[n_train + n_valid :].tolist(),
+        all_idx[:n_train],
+        all_idx[n_train : n_train + n_valid],
+        all_idx[n_train + n_valid :],
     )
 
 
+def cv_stratified_split(labels: Sequence, fold_idx: int = 0, seed: int = 0,
+                        n_splits: int = 10) -> Tuple[List[int], List[int]]:
+    """The reference cv_random_split (splitters_molebert.py:283-317):
+    sklearn StratifiedKFold(10, shuffle=True, random_state=seed) over the
+    labels; returns the (train, valid) index pair of ``fold_idx``."""
+    from sklearn.model_selection import StratifiedKFold
+
+    skf = StratifiedKFold(n_splits=n_splits, shuffle=True, random_state=seed)
+    folds = list(skf.split(np.zeros(len(labels)), list(labels)))
+    tr, va = folds[fold_idx]
+    return tr.tolist(), va.tolist()
+
+
 def cv_random_split(n: int, n_folds: int = 5, seed: int = 0) -> List[Tuple[List[int], List[int]]]:
+    """Plain k-fold over a permutation (used by train/cv.py — the reference
+    CV driver gat2_cv.py:113-158 uses sklearn KFold similarly)."""
     rng = np.random.default_rng(seed)
     perm = rng.permutation(n)
     folds = np.array_split(perm, n_folds)

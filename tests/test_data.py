@@ -56,6 +56,99 @@ class TestSplitters:
         tr2, va2, te2 = deepchem_scaffold_split(smiles_pool)
         assert len(tr2) + len(va2) + len(te2) == len(smiles_pool)
 
+    def test_random_split_reference_semantics(self):
+        """Membership must reproduce splitters_molebert.py:249-258 exactly:
+        random.seed(seed) + random.shuffle + int-truncated slicing."""
+        import random as pyrandom
+
+        for n, seed in [(97, 0), (100, 7), (31, 3)]:
+            all_idx = list(range(n))
+            pyrandom.seed(seed)
+            pyrandom.shuffle(all_idx)
+            want = (all_idx[: int(0.8 * n)],
+                    all_idx[int(0.8 * n): int(0.8 * n) + int(0.1 * n)],
+                    all_idx[int(0.8 * n) + int(0.1 * n):])
+            assert random_split(n, seed=seed) == want
+
+    def test_random_scaffold_split_reference_semantics(self, smiles_pool):
+        """Fill order valid → test → train with RandomState(seed) group
+        permutation and floor cutoffs (splitters_molebert.py:180-204)."""
+        from fragnet_tpu.data.splitters import _scaffold_sets
+
+        n = len(smiles_pool)
+        groups = list(_scaffold_sets(smiles_pool, True).values())
+        perm = np.random.RandomState(5).permutation(len(groups))
+        n_valid, n_test = int(np.floor(0.1 * n)), int(np.floor(0.1 * n))
+        train, valid, test = [], [], []
+        for gi in perm:
+            g = groups[gi]
+            if len(valid) + len(g) <= n_valid:
+                valid.extend(g)
+            elif len(test) + len(g) <= n_test:
+                test.extend(g)
+            else:
+                train.extend(g)
+        got = random_scaffold_split(smiles_pool, seed=5)
+        assert got == (train, valid, test)
+
+    def test_scaffold_split_chirality_aware(self):
+        """Stereo SMILES panel: enantiomeric ring scaffolds must land in
+        DIFFERENT scaffold sets (include_chirality=True, the reference
+        default at splitters_molebert.py:79), while re-ordered writings of
+        the SAME stereoisomer share a set."""
+        from fragnet_tpu.chem.smiles import canonical_smiles
+        from fragnet_tpu.data.splitters import generate_scaffold
+
+        # decalin diastereomers (ring-fusion stereocenters survive scaffold
+        # extraction) → distinct chirality-aware keys
+        m1 = "C1CC[C@H]2CCCC[C@H]2C1"
+        m2 = "C1CC[C@H]2CCCC[C@@H]2C1"
+        a = generate_scaffold(m1, include_chirality=True)
+        e = generate_scaffold(m2, include_chirality=True)
+        assert a != e and "@" in a
+        # without chirality they collapse (legacy behavior)
+        assert generate_scaffold(m1, False) == generate_scaffold(m2, False)
+        # a methyl side chain strips away; the fusion tags survive and the
+        # key equals the bare decalin's
+        assert generate_scaffold("CC1CC[C@H]2CCCC[C@H]2C1", True) == a
+        # a stereocenter whose side chains are stripped gains 2 Hs and must
+        # LOSE its tag (no phantom stereo keys)
+        s = generate_scaffold("CC[C@H](C)c1ccccc1", include_chirality=True)
+        assert s is not None and "@" not in s
+        # writer invariance: re-ordered writings of ONE stereoisomer
+        # canonicalize identically; the enantiomer stays distinct
+        assert (canonical_smiles("C[C@H](N)O")
+                == canonical_smiles("C[C@@H](O)N")
+                == canonical_smiles("O[C@@H](N)C"))
+        assert canonical_smiles("C[C@H](N)O") != canonical_smiles("C[C@@H](N)O")
+        assert (canonical_smiles("C[C@](N)(O)F")
+                == canonical_smiles("N[C@@](C)(O)F"))
+
+    def test_split_membership_diverges_on_stereo_pairs(self):
+        """A diastereomer pair plus achiral fillers: with chirality-aware
+        keys the pair may split apart; with legacy keys they always travel
+        together. Checks the keys really differ inside scaffold_split."""
+        pool = (["C1CC[C@H]2CCCC[C@H]2C1", "C1CC[C@H]2CCCC[C@@H]2C1"]
+                + [f"{'C' * k}c1ccccc1" for k in range(1, 9)])
+        from fragnet_tpu.data.splitters import _scaffold_sets
+
+        sets_chiral = _scaffold_sets(pool, True)
+        sets_legacy = _scaffold_sets(pool, False)
+        in_same_legacy = any({0, 1} <= set(v) for v in sets_legacy.values())
+        in_same_chiral = any({0, 1} <= set(v) for v in sets_chiral.values())
+        assert in_same_legacy and not in_same_chiral
+
+    def test_cv_stratified_matches_sklearn(self):
+        from sklearn.model_selection import StratifiedKFold
+
+        from fragnet_tpu.data.splitters import cv_stratified_split
+
+        labels = [i % 2 for i in range(40)]
+        skf = StratifiedKFold(n_splits=10, shuffle=True, random_state=3)
+        want = list(skf.split(np.zeros(40), labels))[2]
+        tr, va = cv_stratified_split(labels, fold_idx=2, seed=3)
+        assert tr == want[0].tolist() and va == want[1].tolist()
+
     def test_cv(self):
         folds = cv_random_split(50, n_folds=5, seed=0)
         assert len(folds) == 5

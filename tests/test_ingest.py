@@ -219,3 +219,27 @@ class TestCustomFacade:
         data = ds.get_data()
         assert len(data) == 2
         assert data[0]["y"] == [[1.0]]
+
+
+def test_gdsc_split_matches_sklearn_exactly():
+    """_train_test_split must reproduce sklearn.model_selection.
+    train_test_split membership bit-for-bit (the reference's splitter,
+    Step1_getData.py:86) — RandomState(seed).permutation, ceil test size,
+    test = perm[:n_test]."""
+    import numpy as np
+    import pandas as pd
+    from sklearn.model_selection import train_test_split
+
+    from fragnet_tpu.data.gdsc import _train_test_split
+
+    rng = np.random.default_rng(0)
+    for n in (7, 23, 100):
+        for ts in (0.05, 0.2):
+            for seed in (1, 42):
+                df = pd.DataFrame({"a": np.arange(n),
+                                   "b": rng.random(n)})
+                tr1, te1 = train_test_split(df, test_size=ts,
+                                            random_state=seed)
+                tr2, te2 = _train_test_split(df, ts, seed)
+                assert list(tr1.index) == list(tr2.index)
+                assert list(te1.index) == list(te2.index)
