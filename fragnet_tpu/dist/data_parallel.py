@@ -115,22 +115,27 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     the process index."""
     import os
 
-    if jax.process_count() > 1:
-        return jax.process_index()  # already initialized
+    # NOTE: must not touch any backend-initializing API (jax.devices,
+    # jax.process_count, ...) before jax.distributed.initialize — doing so
+    # finalizes a single-process backend and turns the initialize into a
+    # silent no-op (round-2 latent bug, caught by tests/test_multiprocess.py)
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     try:
         if addr:
+            np_ = num_processes if num_processes is not None else \
+                os.environ.get("JAX_NUM_PROCESSES", 1)
+            pid = process_id if process_id is not None else \
+                os.environ.get("JAX_PROCESS_ID", 0)
             jax.distributed.initialize(
                 coordinator_address=addr,
-                num_processes=int(num_processes
-                                  or os.environ.get("JAX_NUM_PROCESSES", 1)),
-                process_id=int(process_id
-                               or os.environ.get("JAX_PROCESS_ID", 0)),
+                num_processes=int(np_),
+                process_id=int(pid),
             )
         elif os.environ.get("TPU_WORKER_HOSTNAMES"):
             jax.distributed.initialize()  # TPU pod autodetect
-    except RuntimeError:
-        pass  # single-process / already initialized
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
     return jax.process_index()
 
 

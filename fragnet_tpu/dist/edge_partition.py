@@ -126,23 +126,134 @@ EP_SHARDED_FIELDS = (
 )
 
 
+def with_ep_tile_meta(batch, n_shards: int, tn: int = 256, te: int = 256,
+                      pins: Optional[dict] = None):
+    """Attach per-shard TCSR metadata (ops/tcsr.py:EPTileMeta) for all four
+    levels so the EP train step runs the fused Pallas kernel on each shard's
+    edge range. Returns ``(batch, True)`` on success or the unchanged batch
+    + False when any level violates the layout assumptions (caller keeps the
+    XLA EP segment path). Edge counts must be divisible by n_shards·te and
+    node counts by tn. ``pins`` optionally fixes the static widths per level
+    ({'tm_atom': (Tg, n_chunks, k_src), ...}) so every batch compiles to the
+    same kernel."""
+    import dataclasses
+
+    from fragnet_tpu.ops.tcsr import build_ep_tile_meta
+
+    def pin_kw(level):
+        if pins is None or level not in pins:
+            return {}
+        tg, c, k = pins[level]
+        return {"n_tiles_grid": tg, "n_chunks": c, "k_src": k}
+
+    tms = dict(
+        tm_atom=build_ep_tile_meta(
+            batch.edge_src, batch.edge_dst, batch.edge_mask,
+            batch.x_atoms.shape[0], n_shards, tn, te, **pin_kw("tm_atom")),
+        tm_bond=build_ep_tile_meta(
+            batch.bg_src, batch.bg_dst, batch.bg_mask,
+            batch.nf_bonds.shape[0], n_shards, tn, te, **pin_kw("tm_bond")),
+        tm_frag=build_ep_tile_meta(
+            batch.frag_src, batch.frag_dst, batch.fconn_mask,
+            batch.x_frags.shape[0], n_shards, tn, te, **pin_kw("tm_frag")),
+        tm_fc=build_ep_tile_meta(
+            batch.fc_src, batch.fc_dst, batch.fc_mask,
+            batch.nf_fbonds.shape[0], n_shards, tn, te, **pin_kw("tm_fc")),
+    )
+    if any(v is None for v in tms.values()):
+        return batch, False
+    return dataclasses.replace(batch, **tms), True
+
+
+class EPMetaLoader:
+    """Wraps a batch loader for edge-partitioned fused-kernel training:
+    probes the first ``n_probe`` batches to pin the per-level static tile
+    widths (one chunk of slack), then attaches pinned EPTileMeta to every
+    yielded batch. Raises on construction if the probe fails (caller keeps
+    the XLA EP segment path) and at iteration time if a later batch exceeds
+    the pinned windows (static shapes are a compile-once contract)."""
+
+    _LEVELS = ("tm_atom", "tm_bond", "tm_frag", "tm_fc")
+
+    def __init__(self, loader, n_shards: int, tn: int = 256, te: int = 256,
+                 n_probe: int = 8):
+        self.loader = loader
+        self.n_shards = n_shards
+        self.tn, self.te = tn, te
+        pins: dict = {}
+        probed = 0
+        for b in loader:
+            b2, ok = with_ep_tile_meta(self._host(b), n_shards, tn, te)
+            if not ok:
+                raise ValueError(
+                    "EP tile-meta probe failed: batch violates TCSR layout "
+                    "(pad edge counts to a multiple of n_shards*te and node "
+                    "counts to tn, or set dist.tcsr=false)")
+            for lvl in self._LEVELS:
+                tm = getattr(b2, lvl)
+                cur = pins.get(lvl, (1, 1, 1))
+                pins[lvl] = (max(cur[0], tm.n_tiles_grid),
+                             max(cur[1], tm.n_chunks + 1),  # slack chunk
+                             max(cur[2], tm.k_src))
+            probed += 1
+            if probed >= n_probe:
+                break
+        self.pins = pins
+
+    @staticmethod
+    def _host(b):
+        import dataclasses as _dc
+
+        import numpy as _np
+
+        return _dc.replace(b, **{
+            f.name: _np.asarray(getattr(b, f.name))
+            for f in _dc.fields(b)
+            if f.name.startswith(("edge_", "bg_", "frag_", "fc_", "x_", "nf_"))
+            and getattr(b, f.name) is not None
+        })
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for b in self.loader:
+            b2, ok = with_ep_tile_meta(self._host(b), self.n_shards,
+                                       self.tn, self.te, pins=self.pins)
+            if not ok:
+                raise RuntimeError(
+                    "batch exceeds the pinned EP tile windows; re-run with "
+                    "dist.tcsr=false or a larger probe")
+            yield b2
+
+
 def ep_batch_specs(batch, axis: str = "ep"):
     """PartitionSpec pytree for a HierGraphBatch in edge-partitioned mode.
     The batch must be padded with every edge dimension divisible by the mesh
-    size (PadSpec.round_to handles this) and must NOT carry TCSR/ELL
-    metadata (the fused kernels are single-shard concepts)."""
+    size (PadSpec.round_to handles this). TCSR metadata, if present, must be
+    the per-shard EPTileMeta form (with_ep_tile_meta); single-shard TileMeta
+    and ELL tables are rejected."""
     import dataclasses
 
     from fragnet_tpu.graphs.hiergraph import HierGraphBatch
+    from fragnet_tpu.ops.tcsr import EPTileMeta
 
-    if batch.tm_atom is not None or batch.atom_nbr_edge is not None:
-        raise ValueError("edge-partitioned mode needs a plain (non-TCSR, "
-                         "non-ELL) PadSpec")
+    if batch.atom_nbr_edge is not None:
+        raise ValueError("edge-partitioned mode does not support ELL tables")
     specs = {}
     for f in dataclasses.fields(HierGraphBatch):
         v = getattr(batch, f.name)
         if v is None:
             specs[f.name] = None
+        elif f.name.startswith("tm_"):
+            if not isinstance(v, EPTileMeta):
+                raise ValueError(
+                    f"edge-partitioned mode needs per-shard EPTileMeta for "
+                    f"{f.name} (use with_ep_tile_meta), got {type(v).__name__}")
+            specs[f.name] = EPTileMeta(
+                t0=P(axis), ew_blk=P(axis), sw_tile=P(axis),
+                flat_slot=P(axis), tn=v.tn, te=v.te, n_chunks=v.n_chunks,
+                k_src=v.k_src, n_tiles_grid=v.n_tiles_grid)
         elif f.name in EP_SHARDED_FIELDS:
             specs[f.name] = P(axis)
         else:
@@ -170,8 +281,12 @@ def make_ep_train_step(model, tx, mesh: Mesh, example_batch,
                           rngs={"dropout": rng})
         return loss_fn(out, batch.y, batch.graph_mask)
 
+    # check_vma=False: the fused EP path calls pallas kernels whose
+    # outputs carry no vma annotation; correctness of the collective
+    # transposes is covered by the grad-parity tests
     sharded_loss = shard_map(local, mesh=mesh,
-                             in_specs=(P(), specs, P()), out_specs=P())
+                             in_specs=(P(), specs, P()), out_specs=P(),
+                             check_vma=False)
 
     @partial(jax.jit, donate_argnums=0)
     def step(state, batch, base_rng):
@@ -197,7 +312,7 @@ def make_ep_eval_step(model, mesh: Mesh, example_batch,
         return loss_fn(out, batch.y, batch.graph_mask), out
 
     return jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), specs),
-                             out_specs=(P(), P())))
+                             out_specs=(P(), P()), check_vma=False))
 
 
 def edge_partitioned_segment_sum(

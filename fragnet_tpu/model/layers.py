@@ -26,7 +26,8 @@ from flax import linen as nn
 from flax import struct
 
 from fragnet_tpu.ops.ell import ell_gat_pass
-from fragnet_tpu.ops.pallas_gat import pallas_gat_pass
+from fragnet_tpu.ops.pallas_gat import pallas_gat_pass, pallas_gat_pass_ep
+from fragnet_tpu.ops.tcsr import EPTileMeta, TileMeta
 from fragnet_tpu.ops.segment import gat_attention_pass, segment_sum
 
 # torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
@@ -133,14 +134,20 @@ class FragNetLayer(nn.Module):
                         name="projection_b")(nf_bonds)
         nf_b = nf_b.reshape(E, H, edge_out_ph)
         a_b = self.param("a_b", xavier_gain, (H, 3 * edge_out_ph))
-        if self.ep_axis is not None:
+        if self.ep_axis is not None and isinstance(batch.tm_bond, EPTileMeta):
+            # fused TCSR kernel on this shard's edge range + mesh combine
+            bond_out, attn_bonds = pallas_gat_pass_ep(
+                nf_b, ea_b, batch.bg_src, batch.bg_dst, batch.bg_mask,
+                a_b, batch.tm_bond, axis=self.ep_axis,
+            )
+        elif self.ep_axis is not None:
             ea_bh = jnp.broadcast_to(
                 ea_b[:, None, :], (ea_b.shape[0], H, edge_out_ph))
             bond_out, attn_bonds = gat_attention_pass(
                 nf_b, ea_bh, batch.bg_src, batch.bg_dst, a_b, E,
                 edge_mask=batch.bg_mask, axis_name=self.ep_axis,
             )
-        elif batch.tm_bond is not None:
+        elif isinstance(batch.tm_bond, TileMeta):
             bond_out, attn_bonds = pallas_gat_pass(
                 nf_b, ea_b, batch.bg_src, batch.bg_dst, batch.bg_mask,
                 a_b, batch.tm_bond,
@@ -195,14 +202,26 @@ class FragNetLayer(nn.Module):
                         name="projection_a")(x_atoms)
         nf_a = nf_a.reshape(A, H, atom_out_ph)
         a = self.param("a", xavier_gain, (H, 2 * atom_out_ph + self.edge_out))
-        if self.ep_axis is not None:
+        if self.ep_axis is not None and isinstance(batch.tm_atom, EPTileMeta):
+            # local slice of the replicated E-space bond features; the
+            # appended self-loops are folded analytically in the combine
+            Es = batch.edge_src.shape[0]
+            aidx = jax.lax.axis_index(self.ep_axis)
+            nb_local = jax.lax.dynamic_slice_in_dim(
+                new_bond_features, aidx * Es, Es)
+            atom_out_feats, attn_atoms_full = pallas_gat_pass_ep(
+                nf_a, nb_local, batch.edge_src, batch.edge_dst,
+                jax.lax.dynamic_slice_in_dim(edge_mask, aidx * Es, Es),
+                a, batch.tm_atom, axis=self.ep_axis, self_loops=True,
+            )
+        elif self.ep_axis is not None:
             e_attr_h = jnp.broadcast_to(
                 e_attr[:, None, :], (e_attr.shape[0], H, self.edge_out))
             atom_out_feats, attn_atoms_full = gat_attention_pass(
                 nf_a, e_attr_h, src, dst, a, A, edge_mask=e_mask,
                 axis_name=self.ep_axis,
             )
-        elif batch.tm_atom is not None:
+        elif isinstance(batch.tm_atom, TileMeta):
             # self-loops (zero edge attrs, gat2.py:179-185) folded in-kernel
             atom_out_feats, attn_atoms_full = pallas_gat_pass(
                 nf_a, new_bond_features, batch.edge_src, batch.edge_dst,
@@ -239,14 +258,19 @@ class FragNetLayer(nn.Module):
                          name="projection_fb")(nf_fbonds)
         nf_fb = nf_fb.reshape(C, H, edge_out_ph)
         f_a_b = self.param("f_a_b", xavier_gain, (H, 3 * edge_out_ph))
-        if self.ep_axis is not None:
+        if self.ep_axis is not None and isinstance(batch.tm_fc, EPTileMeta):
+            fbond_out, attn_fbonds = pallas_gat_pass_ep(
+                nf_fb, ea_fb, batch.fc_src, batch.fc_dst, batch.fc_mask,
+                f_a_b, batch.tm_fc, axis=self.ep_axis,
+            )
+        elif self.ep_axis is not None:
             ea_fbh = jnp.broadcast_to(
                 ea_fb[:, None, :], (ea_fb.shape[0], H, edge_out_ph))
             fbond_out, attn_fbonds = gat_attention_pass(
                 nf_fb, ea_fbh, batch.fc_src, batch.fc_dst, f_a_b, C,
                 edge_mask=batch.fc_mask, axis_name=self.ep_axis,
             )
-        elif batch.tm_fc is not None:
+        elif isinstance(batch.tm_fc, TileMeta):
             fbond_out, attn_fbonds = pallas_gat_pass(
                 nf_fb, ea_fb, batch.fc_src, batch.fc_dst, batch.fc_mask,
                 f_a_b, batch.tm_fc,
@@ -276,7 +300,17 @@ class FragNetLayer(nn.Module):
         # fragment node features enter per-head WITHOUT projection
         nf_f = x_frags.reshape(F, H, -1)
         f = self.param("f", xavier_gain, (H, 2 * (self.atom_out // H) + self.edge_out))
-        if self.ep_axis is not None:
+        if self.ep_axis is not None and isinstance(batch.tm_frag, EPTileMeta):
+            Cs = batch.frag_src.shape[0]
+            aidx = jax.lax.axis_index(self.ep_axis)
+            frag_out, attn_frags = pallas_gat_pass_ep(
+                nf_f,
+                jax.lax.dynamic_slice_in_dim(new_fbond_features, aidx * Cs, Cs),
+                batch.frag_src, batch.frag_dst,
+                jax.lax.dynamic_slice_in_dim(fconn_mask, aidx * Cs, Cs),
+                f, batch.tm_frag, axis=self.ep_axis,
+            )
+        elif self.ep_axis is not None:
             Cs = batch.frag_src.shape[0]
             aidx = jax.lax.axis_index(self.ep_axis)
             fb_local = jax.lax.dynamic_slice_in_dim(
@@ -288,7 +322,7 @@ class FragNetLayer(nn.Module):
                 nf_f, fb_attr_h, batch.frag_src, batch.frag_dst, f, F,
                 edge_mask=fm_local, axis_name=self.ep_axis,
             )
-        elif batch.tm_frag is not None:
+        elif isinstance(batch.tm_frag, TileMeta):
             frag_out, attn_frags = pallas_gat_pass(
                 nf_f, new_fbond_features, batch.frag_src, batch.frag_dst,
                 batch.fconn_mask, f, batch.tm_frag,

@@ -102,7 +102,7 @@ def _seg_max(oh_b, z, H, te, width):
 # forward kernel
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
+def _fwd_kernel(t0_ref, ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
                 self_loops, slope, big_prec):
     (wn_dst_ref, *rest) = refs
     wn_win_refs = rest[:k]
@@ -113,6 +113,7 @@ def _fwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
     acc_num, acc_m, acc_den = rest[2 * k + 8 :]
 
     t = pl.program_id(0)
+    t_abs = t0_ref[0] + t                        # absolute dst tile (EP grids)
     c = pl.program_id(1)
     HD = H * D
     f32 = jnp.float32
@@ -135,7 +136,7 @@ def _fwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
     wn_win = jnp.concatenate([r[:] for r in wn_win_refs], axis=0)  # (K*Tn, 2H)
     nf_win = jnp.concatenate([r[:] for r in nf_win_refs], axis=0)  # (K*Tn, HD)
 
-    dst_l = dst_ref[:] - t * tn                  # (Te, 1) i32
+    dst_l = dst_ref[:] - t_abs * tn              # (Te, 1) i32
     src_l = src_ref[:] - sw_ref[t] * tn
     keep = (dst_l >= 0) & (dst_l < tn) & (emask_ref[:] > 0)
     oh_dst_b = (dst_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)) & keep
@@ -190,7 +191,7 @@ def _fwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
 # backward kernel
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
+def _bwd_kernel(t0_ref, ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
                 self_loops, slope, big_prec):
     (wn_dst_ref, *rest) = refs
     wn_win_refs = rest[:k]
@@ -203,6 +204,7 @@ def _bwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
     acc_dwdst, acc_dnfw, acc_dasrc = rest[2 * k + 16 :]
 
     t = pl.program_id(0)
+    t_abs = t0_ref[0] + t                        # absolute dst tile (EP grids)
     c = pl.program_id(1)
     HD = H * D
     f32 = jnp.float32
@@ -238,7 +240,7 @@ def _bwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
     wn_win = jnp.concatenate([r[:] for r in wn_win_refs], axis=0)
     nf_win = jnp.concatenate([r[:] for r in nf_win_refs], axis=0)
 
-    dst_l = dst_ref[:] - t * tn
+    dst_l = dst_ref[:] - t_abs * tn
     src_l = src_ref[:] - sw_ref[t] * tn
     keep = (dst_l >= 0) & (dst_l < tn) & (emask_ref[:] > 0)
     oh_dst_b = (dst_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)) & keep
@@ -311,31 +313,38 @@ def _bwd_kernel(ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
 # --------------------------------------------------------------------------
 
 def _node_specs(k, tn, width):
-    """BlockSpecs for a node-space array: dst tile + k source-window tiles."""
-    dst = pl.BlockSpec((tn, width), lambda t, c, ew, sw: (t, 0))
+    """BlockSpecs for a node-space array: dst tile (absolute: t0 offset for
+    EP shard grids) + k source-window tiles (sw is absolute already)."""
+    dst = pl.BlockSpec((tn, width), lambda t, c, t0, ew, sw: (t0[0] + t, 0))
     wins = [
         pl.BlockSpec((tn, width),
-                     functools.partial(lambda kk, t, c, ew, sw: (sw[t] + kk, 0), kk))
+                     functools.partial(
+                         lambda kk, t, c, t0, ew, sw: (sw[t] + kk, 0), kk))
         for kk in range(k)
     ]
     return [dst] + wins
 
 
 def _edge_spec(te, width):
-    return pl.BlockSpec((te, width), lambda t, c, ew, sw: (ew[t] + c, 0))
+    return pl.BlockSpec((te, width), lambda t, c, t0, ew, sw: (ew[t] + c, 0))
 
 
 def _tile_spec(tn, width):
-    return pl.BlockSpec((tn, width), lambda t, c, ew, sw: (t, 0))
+    """Grid-local node-space block (outputs and per-tile state)."""
+    return pl.BlockSpec((tn, width), lambda t, c, t0, ew, sw: (t, 0))
 
 
 @functools.lru_cache(maxsize=64)
 def _build(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
-           interpret):
+           interpret, n_tiles_grid=None):
     dt = jnp.dtype(dt_name)
     big_prec = _HI if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     HD = H * D
-    n_tiles = N // tn
+    # EP shard grids run a restricted dst-tile range [t0, t0+n_tiles_grid);
+    # node INPUTS stay N-sized (absolute block indices), node OUTPUTS are
+    # grid-local (Ng rows) and the caller embeds them at t0*tn.
+    n_tiles = N // tn if n_tiles_grid is None else n_tiles_grid
+    Ng = n_tiles * tn
     grid = (n_tiles, n_chunks)
     kparams = dict(tn=tn, te=te, k=k, n_chunks=n_chunks, H=H, D=D, Da=Da,
                    self_loops=self_loops, slope=slope, big_prec=big_prec)
@@ -353,7 +362,7 @@ def _build(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
     fwd = pl.pallas_call(
         functools.partial(_fwd_kernel, **kparams),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=in_specs,
             out_specs=[_tile_spec(tn, HD), _tile_spec(tn, H), _tile_spec(tn, H)],
@@ -364,9 +373,9 @@ def _build(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((N, HD), jnp.float32),
-            jax.ShapeDtypeStruct((N, H), jnp.float32),
-            jax.ShapeDtypeStruct((N, H), jnp.float32),
+            jax.ShapeDtypeStruct((Ng, HD), jnp.float32),
+            jax.ShapeDtypeStruct((Ng, H), jnp.float32),
+            jax.ShapeDtypeStruct((Ng, H), jnp.float32),
         ],
         compiler_params=comp,
         interpret=interpret,
@@ -381,13 +390,14 @@ def _build(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
            _tile_spec(tn, H),   # den
            _tile_spec(tn, HD),  # g_out
            _tile_spec(tn, H),   # s
-           pl.BlockSpec((8, max(H * D, 128)), lambda t, c, ew, sw: (0, 0)),  # a_src
+           pl.BlockSpec((8, max(H * D, 128)),
+                        lambda t, c, t0, ew, sw: (0, 0)),  # a_src
            ]
     )
     bwd = pl.pallas_call(
         functools.partial(_bwd_kernel, **kparams),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=bwd_in_specs,
             out_specs=[
@@ -395,11 +405,11 @@ def _build(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
                 _tile_spec(tn, H),                              # d_wself
                 _tile_spec(tn, HD),                             # d_nf_dst
                 pl.BlockSpec((1, te, H),
-                             lambda t, c, ew, sw: (t * n_chunks + c, 0, 0)),
+                             lambda t, c, t0, ew, sw: (t * n_chunks + c, 0, 0)),
                 pl.BlockSpec((1, k * tn, HD),
-                             lambda t, c, ew, sw: (t, 0, 0)),   # d_nf_win
+                             lambda t, c, t0, ew, sw: (t, 0, 0)),  # d_nf_win
                 pl.BlockSpec((8, max(H * D, 128)),
-                             lambda t, c, ew, sw: (0, 0)),      # d_a_src
+                             lambda t, c, t0, ew, sw: (0, 0)),     # d_a_src
             ],
             scratch_shapes=[
                 pltpu.VMEM((tn, H), jnp.float32),
@@ -408,9 +418,9 @@ def _build(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((N, H), jnp.float32),
-            jax.ShapeDtypeStruct((N, H), jnp.float32),
-            jax.ShapeDtypeStruct((N, HD), jnp.float32),
+            jax.ShapeDtypeStruct((Ng, H), jnp.float32),
+            jax.ShapeDtypeStruct((Ng, H), jnp.float32),
+            jax.ShapeDtypeStruct((Ng, HD), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles * n_chunks, te, H), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, k * tn, HD), jnp.float32),
             jax.ShapeDtypeStruct((8, max(H * D, 128)), jnp.float32),
@@ -440,6 +450,8 @@ def _make_op(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
         w_ea = ea.astype(f32) @ a_ea.T
         return wn, w_ea, a_dst, a_ea, a_src
 
+    t0_zero = np.zeros((1,), np.int32)
+
     def run_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile):
         wn, w_ea, *_ = prologue(nf, ea, a)
         nf_flat = nf.reshape(N, HD)
@@ -447,7 +459,7 @@ def _make_op(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
         dst2 = dst.reshape(E, 1).astype(jnp.int32)
         em2 = emask.reshape(E, 1).astype(f32)
         args = [wn] * (k + 1) + [nf_flat] * (k + 1) + [w_ea, src2, dst2, em2]
-        out, m, den = fwd_call(ew_blk, sw_tile, *args)
+        out, m, den = fwd_call(t0_zero, ew_blk, sw_tile, *args)
         return out, m, den
 
     @jax.custom_vjp
@@ -479,7 +491,7 @@ def _make_op(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
         args = ([wn] * (k + 1) + [nf_flat] * (k + 1)
                 + [w_ea, src2, dst2, em2, m, den, g32, s, a_src_pad])
         d_wdst, d_wself, d_nfdst, d_z_tiled, d_nfwin, d_asrc_pad = bwd_call(
-            ew_blk, sw_tile, *args)
+            t0_zero, ew_blk, sw_tile, *args)
 
         nf32 = nf.astype(f32)
         d_z = d_z_tiled.reshape(-1, H)[flat_slot]         # (E, H) gather
@@ -578,4 +590,223 @@ def pallas_gat_pass(
         # the analytic self-loop contributes at source == node itself
         z_self = _leaky(w_dst + w_src, negative_slope)
         attn = attn + jnp.exp(z_self - m_s) / den_s
+    return out, attn
+
+
+# --------------------------------------------------------------------------
+# edge-partitioned fused pass (runs inside shard_map, dist/edge_partition.py)
+# --------------------------------------------------------------------------
+
+def _hrep_xla(x, D):
+    """(N, H) → (N, H*D) head-major broadcast (XLA-side twin of _hrep)."""
+    return jnp.repeat(x, D, axis=1)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_ep_op(N, Es, H, D, Da, tn, te, k, n_chunks, Tg, slope, dt_name,
+                interpret):
+    """Per-shard building blocks for the edge-partitioned fused pass.
+
+    AD-boundary design: shard_map's transpose machinery only reasons about
+    collectives it can SEE, so the pmax/psum softmax combine must live in
+    transparent XLA — a custom_vjp that hides a psum receives cotangents of
+    replicated outputs split 1/S per shard and every gradient comes out S×
+    too small (measured). The boundary here is therefore strictly LOCAL:
+
+      * ``local_stats(...)``     — the forward kernel on stop-gradient
+        inputs: (out_l, m_l, den_l) for this shard's edge range. Pure
+        values; never differentiated.
+      * ``local_unnorm(...)``    — custom_vjp producing this shard's
+        UN-normalized softmax sums, given the global max M (stop-grad; the
+        shift is gradient-free by softmax invariance):
+            U_n = Σ_local exp(z_e − M_n)·h_src[e]   (Ng, HD)
+            V_n = Σ_local exp(z_e − M_n)            (Ng, H)
+        Its forward is free (elementwise rescale of the stats); its backward
+        is the existing fused bwd kernel with (m ← M, den ← 1, gout ← dU,
+        s ← −dV): the kernel's d_logit = p·(d_p − s) then equals
+        exp(z−M)·(Σ_d h·dU + dV) — exactly ∂(U,V)/∂z.
+
+    The caller embeds U/V at the shard's tile offset, psums across the mesh,
+    adds the analytic self-loop term, and divides — all transparent XLA, so
+    collective transposes, the quotient rule, and the self-loop gradient are
+    jax's problem, not ours."""
+    fwd_call, bwd_call = _build(N, Es, H, D, Da, tn, te, k, n_chunks,
+                                False, slope, dt_name, interpret,
+                                n_tiles_grid=Tg)
+    HD = H * D
+    Ng = Tg * tn
+    f32 = jnp.float32
+
+    def prologue(nf, ea, a):
+        nf32 = nf.astype(f32)
+        a32 = a.astype(f32)
+        a_dst, a_ea, a_src = a32[:, :D], a32[:, D:D + Da], a32[:, D + Da:]
+        w_dst = jnp.einsum("nhd,hd->nh", nf32, a_dst)
+        w_src = jnp.einsum("nhd,hd->nh", nf32, a_src)
+        wn = jnp.concatenate([w_dst, w_src], axis=-1)
+        w_ea = ea.astype(f32) @ a_ea.T
+        return wn, w_ea, a_dst, a_ea, a_src
+
+    def local_stats(nf, ea, src, dst, emask, a, t0, ew, sw):
+        sg = jax.lax.stop_gradient
+        nf, ea, a = sg(nf), sg(ea), sg(a)
+        wn, w_ea, *_ = prologue(nf, ea, a)
+        nf_flat = nf.reshape(N, HD)
+        src2 = src.reshape(Es, 1).astype(jnp.int32)
+        dst2 = dst.reshape(Es, 1).astype(jnp.int32)
+        em2 = emask.reshape(Es, 1).astype(f32)
+        args = [wn] * (k + 1) + [nf_flat] * (k + 1) + [w_ea, src2, dst2, em2]
+        return fwd_call(t0, ew, sw, *args)      # out_l, m_l, den_l (Ng, ·)
+
+    @jax.custom_vjp
+    def local_unnorm(nf, ea, src, dst, emask, a, Mg, stats, t0, ew, sw, flat):
+        out_l, m_l, den_l = stats
+        r0 = t0[0] * tn
+        m_sl = jax.lax.dynamic_slice(Mg, (r0, 0), (Ng, H))
+        scale = jnp.where(m_l > _NEG / 2, jnp.exp(m_l - m_sl), 0.0)
+        V = den_l * scale
+        U = out_l * _hrep_xla(V, D)
+        return U, V
+
+    def _unnorm_fwd(nf, ea, src, dst, emask, a, Mg, stats, t0, ew, sw, flat):
+        U, V = local_unnorm(nf, ea, src, dst, emask, a, Mg, stats,
+                            t0, ew, sw, flat)
+        return (U, V), (nf, ea, src, dst, emask, a, Mg, t0, ew, sw, flat)
+
+    def _unnorm_bwd(res, gs):
+        dU, dV = gs
+        nf, ea, src, dst, emask, a, Mg, t0, ew, sw, flat = res
+        wn, w_ea, a_dst, a_ea, a_src = prologue(nf, ea, a)
+        nf32 = nf.astype(f32)
+        nf_flat = nf.reshape(N, HD)
+        r0 = t0[0] * tn
+        m_sl = jax.lax.dynamic_slice(Mg, (r0, 0), (Ng, H))
+        src2 = src.reshape(Es, 1).astype(jnp.int32)
+        dst2 = dst.reshape(Es, 1).astype(jnp.int32)
+        em2 = emask.reshape(Es, 1).astype(f32)
+        a_src_pad = jnp.zeros((8, max(HD, 128)), f32)
+        a_src_pad = a_src_pad.at[0, :HD].set(a_src.reshape(HD))
+        ones = jnp.ones((Ng, H), f32)
+        args = ([wn] * (k + 1) + [nf_flat] * (k + 1)
+                + [w_ea, src2, dst2, em2, m_sl, ones,
+                   dU.astype(f32), -dV.astype(f32), a_src_pad])
+        d_wdst, _dws, _dnd, d_z_tiled, d_nfwin, d_asrc_pad = bwd_call(
+            t0, ew, sw, *args)
+
+        d_z = d_z_tiled.reshape(-1, H)[flat] * em2        # (Es, H)
+        d_ea = (d_z @ a_ea).astype(ea.dtype)
+        d_a_ea = jnp.einsum("eh,ed->hd", d_z, ea.astype(f32))
+        d_wdst_emb = jax.lax.dynamic_update_slice(
+            jnp.zeros((N, H), f32), d_wdst, (r0, 0))
+        d_a_dst = jnp.einsum("nh,nhd->hd", d_wdst_emb, nf32)
+        d_a_src = d_asrc_pad[0, :HD].reshape(H, D)
+        d_nf = jnp.einsum("nh,hd->nhd", d_wdst_emb, a_dst).reshape(N, HD)
+        slabs = d_nfwin.reshape(Tg * k, tn * HD)
+        slab_tile = (sw[:, None] + jnp.arange(k)[None, :]).reshape(-1)
+        d_nf = d_nf + jax.ops.segment_sum(
+            slabs, slab_tile, num_segments=N // tn).reshape(N, HD)
+        d_a = jnp.concatenate([d_a_dst, d_a_ea, d_a_src], axis=-1)
+        zero_stats = (jnp.zeros((Ng, HD), f32), jnp.zeros((Ng, H), f32),
+                      jnp.zeros((Ng, H), f32))
+        return (d_nf.reshape(N, H, D).astype(nf.dtype), d_ea, None, None,
+                jnp.zeros_like(emask), d_a.astype(a.dtype),
+                jnp.zeros_like(Mg), zero_stats, None, None, None, None)
+
+    local_unnorm.defvjp(_unnorm_fwd, _unnorm_bwd)
+    return local_stats, local_unnorm, prologue
+
+
+def pallas_gat_pass_ep(
+    node_feats_h: jnp.ndarray,   # (N, H, D) — replicated node state
+    edge_attr: jnp.ndarray,      # (Es, Da) — THIS shard's edge attrs
+    src: jnp.ndarray,            # (Es,) absolute node ids
+    dst: jnp.ndarray,            # (Es,)
+    edge_mask: jnp.ndarray,      # (Es,)
+    attn_vec: jnp.ndarray,       # (H, 2D + Da)
+    meta,                        # EPTileMeta (leaves sharded: leading dim 1)
+    axis: str,
+    self_loops: bool = False,
+    negative_slope: float = 0.2,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Edge-partitioned fused GAT pass — call INSIDE shard_map with the edge
+    arrays sharded over ``axis``. Same math as gat_attention_pass(axis_name=)
+    but each shard runs the TCSR Pallas kernel on a restricted dst-tile grid
+    (ops/tcsr.py:EPTileMeta), so per-shard work scales ~1/S. The analytic
+    self-loop term (atom pass, gat2.py:179-185) is added once in the
+    replicated combine. Returns replicated (out (N,H,D), attn_by_src (N,H))."""
+    N, H, D = node_feats_h.shape
+    Es = src.shape[0]
+    Da = edge_attr.shape[-1]
+    HD = H * D
+    f32 = jnp.float32
+    if interpret is None:
+        interpret = INTERPRET or jax.default_backend() != "tpu"
+    t0 = meta.t0.reshape(-1)[:1]
+    ew = meta.ew_blk.reshape(-1)
+    sw = meta.sw_tile.reshape(-1)
+    flat = meta.flat_slot.reshape(-1)
+    tn = meta.tn
+    Tg = meta.n_tiles_grid
+    local_stats, local_unnorm, _ = _make_ep_op(
+        N, Es, H, D, Da, tn, meta.te, meta.k_src, meta.n_chunks, Tg,
+        float(negative_slope), str(node_feats_h.dtype), bool(interpret))
+
+    # 1. local softmax stats (stop-grad: values only)
+    stats = local_stats(node_feats_h, edge_attr, src, dst, edge_mask,
+                        attn_vec, t0, ew, sw)
+    _out_l, m_l, _den_l = stats
+    r0 = t0[0] * tn
+
+    # 2. global max (stop-grad; the softmax shift is gradient-free)
+    sg = jax.lax.stop_gradient
+    a32 = sg(attn_vec).astype(f32)
+    a_dst, a_ea, a_src = a32[:, :D], a32[:, D:D + Da], a32[:, D + Da:]
+    m_emb = jax.lax.dynamic_update_slice(
+        jnp.full((N, H), _NEG, f32), m_l, (r0, 0))
+    M = jax.lax.pmax(m_emb, axis)
+    if self_loops:
+        nf_sg = sg(node_feats_h).astype(f32)
+        z_self_sg = _leaky(
+            jnp.einsum("nhd,hd->nh", nf_sg, a_dst)
+            + jnp.einsum("nhd,hd->nh", nf_sg, a_src), negative_slope)
+        M = jnp.maximum(M, z_self_sg)
+    Mg = sg(jnp.where(M <= _NEG / 2, 0.0, M))
+
+    # 3. this shard's un-normalized sums (custom-VJP boundary — local only)
+    U_l, V_l = local_unnorm(node_feats_h, edge_attr, src, dst, edge_mask,
+                            attn_vec, Mg, stats, t0, ew, sw, flat)
+
+    # 4. transparent-XLA combine: embed, psum, self-loop term, divide
+    U = jax.lax.dynamic_update_slice(jnp.zeros((N, HD), f32), U_l, (r0, 0))
+    V = jax.lax.dynamic_update_slice(jnp.zeros((N, H), f32), V_l, (r0, 0))
+    NUM = jax.lax.psum(U, axis)
+    DEN = jax.lax.psum(V, axis)
+    if self_loops:
+        nf32 = node_feats_h.astype(f32)
+        z_self = _leaky(
+            jnp.einsum("nhd,hd->nh", nf32, attn_vec.astype(f32)[:, :D])
+            + jnp.einsum("nhd,hd->nh", nf32,
+                         attn_vec.astype(f32)[:, D + Da:]), negative_slope)
+        es = jnp.exp(z_self - Mg)
+        DEN = DEN + es
+        NUM = NUM + _hrep_xla(es, D) * node_feats_h.reshape(N, HD).astype(f32)
+    DENg = jnp.where(DEN == 0.0, 1.0, DEN)
+    out = (NUM / _hrep_xla(DENg, D)).reshape(N, H, D).astype(
+        node_feats_h.dtype)
+
+    # ---- attention epilogue (stop-grad, globally normalized) --------------
+    nf_sg = sg(node_feats_h).astype(f32)
+    w_dst = jnp.einsum("nhd,hd->nh", nf_sg, a_dst)
+    w_src = jnp.einsum("nhd,hd->nh", nf_sg, a_src)
+    w_ea = sg(edge_attr).astype(f32) @ a_ea.T
+    den_s = jnp.where(sg(DEN) == 0.0, 1.0, sg(DEN))
+    z = _leaky(w_dst[dst] + w_src[src] + w_ea, negative_slope)
+    expo = jnp.where(sg(edge_mask).astype(f32)[:, None] > 0,
+                     z - Mg[dst], -jnp.inf)
+    p = jnp.exp(expo) / den_s[dst]
+    attn = jax.lax.psum(jax.ops.segment_sum(p, src, num_segments=N), axis)
+    if self_loops:
+        z_self = _leaky(w_dst + w_src, negative_slope)
+        attn = attn + jnp.exp(z_self - Mg) / den_s
     return out, attn

@@ -65,11 +65,11 @@ def resolve(section, model_version: str = "gat2",
         dtype = jnp.float32
     else:
         raise ValueError(f"unknown dtype {dname!r} (bf16|f32)")
-    # TCSR composes with single-device training; the distributed modes keep
-    # their own spec plumbing (EP fused-kernel composition is tracked in
-    # dist/edge_partition.py).
+    # TCSR composes with single-device training AND the edge-partitioned
+    # mode (per-shard EPTileMeta, dist/edge_partition.py:EPMetaLoader +
+    # ops/pallas_gat.py:pallas_gat_pass_ep); DP keeps its own spec plumbing.
     tcsr_default = (on_tpu and model_version in TCSR_FAMILIES
-                    and dist_mode == "none")
+                    and dist_mode in ("none", "ep"))
     tcsr = bool(section.get("tcsr", tcsr_default))
     cache = str(section.get("cache", "auto")).lower()
     if cache not in ("auto", "on", "off"):

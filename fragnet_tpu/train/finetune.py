@@ -253,8 +253,11 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
 
         n_dev = int(dist.get("n_devices", 0)) or len(jax.devices())
         mesh = make_mesh(n_dev, axis="ep")
+        # fused EP kernel needs node counts % tn and edge counts % (S·te)
+        ep_tile = int(dist.get("tile", 256 if fp.on_tpu else 8))
+        mult = ep_tile * n_dev if fp.tcsr else 8 * n_dev
         spec = spec_for(train_g + val_g + test_g, batch_size=bs,
-                        multiple=8 * n_dev)
+                        multiple=mult)
     elif dist_mode == "dp":
         from fragnet_tpu.dist.data_parallel import (
             initialize_distributed, make_mesh)
@@ -303,6 +306,23 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
                                  on_oversize="error")
         test_loader = BatchLoader(test_g, bs, spec=spec, n_tasks=n_tasks,
                                   on_oversize="error")
+    if dist_mode == "ep" and fp.tcsr:
+        # fused Pallas kernel on each shard's edge range
+        # (dist/edge_partition.py:EPMetaLoader + pallas_gat_pass_ep)
+        from fragnet_tpu.dist.edge_partition import EPMetaLoader
+
+        try:
+            train_loader = EPMetaLoader(train_loader, mesh.size, tn=ep_tile,
+                                        te=ep_tile)
+            val_loader = EPMetaLoader(val_loader, mesh.size, tn=ep_tile,
+                                      te=ep_tile)
+            test_loader = EPMetaLoader(test_loader, mesh.size, tn=ep_tile,
+                                       te=ep_tile)
+            if not quiet:
+                print(f"ep fused kernel active (tile={ep_tile})")
+        except ValueError as e:
+            if not quiet:
+                print(f"ep fused kernel off: {e}")
     if dist_mode == "none":
         # HBM-resident caching: after epoch 1 the input pipeline costs
         # nothing (DeviceCacheLoader; reshuffles batch ORDER per epoch)
