@@ -40,6 +40,12 @@ def main() -> None:
 
     import jax.numpy as jnp
 
+    t_start = time.perf_counter()
+    # diagnostic extras (mosaic gate / roofline / sweep) only run while
+    # within this wall-clock budget — the driver runs bench.py under its own
+    # timeout and the ONE JSON line must always be printed
+    budget = float(os.environ.get("BENCH_BUDGET_S", 700))
+    within_budget = lambda: (time.perf_counter() - t_start) < budget
     n_mols = int(os.environ.get("BENCH_N_MOLS", 512))
     batch_size = int(os.environ.get("BENCH_BATCH", 256))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" \
@@ -90,7 +96,8 @@ def main() -> None:
     # parity tests run interpret=True and would miss a Mosaic miscompile.
     mosaic_check = None
     if use_pallas and device_batches[0].tm_atom is not None \
-            and os.environ.get("BENCH_MOSAIC_CHECK", "1") == "1":
+            and os.environ.get("BENCH_MOSAIC_CHECK", "1") == "1" \
+            and within_budget():
         import dataclasses as _dc
 
         b0 = device_batches[0]
@@ -166,14 +173,16 @@ def main() -> None:
     # ratio. "Speed of light" becomes a measured fraction, not an assertion.
     roofline = None
     if use_pallas and device_batches[0].tm_atom is not None \
-            and os.environ.get("BENCH_ROOFLINE", "1") == "1":
+            and os.environ.get("BENCH_ROOFLINE", "0") == "1" \
+            and within_budget():
         roofline = _roofline(jax, jnp, model, params, device_batches[0],
                              num_layers)
 
     # --- batch-size sweep: device-resident edges/s at 256/512/1024 (the
     # per-chip scale knob — molecules concatenate, SURVEY §5.7)
     sweep = {}
-    if os.environ.get("BENCH_SWEEP", "1") == "1" and n_mols >= 512:
+    if os.environ.get("BENCH_SWEEP", "0") == "1" and n_mols >= 512 \
+            and within_budget():
         for bs2 in (512, 1024):
             if bs2 == batch_size or bs2 > n_mols:
                 continue

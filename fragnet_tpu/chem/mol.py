@@ -286,6 +286,7 @@ class Molecule:
         self._perceive_implicit_hs()
         self._perceive_hybridization()
         self._perceive_conjugation()
+        self._perceive_bond_stereo()
         return self
 
     def _perceive_rings(self) -> None:
@@ -362,44 +363,88 @@ class Molecule:
         return None
 
     def _perceive_aromaticity(self) -> None:
-        """Aromaticity: trust input lowercase flags; additionally flag
-        Kekulé-written 6-rings with perfect single/double alternation
-        (benzene written C1=CC=CC=C1) as aromatic, Hückel-lite."""
-        for ring in self.rings:
-            if len(ring) != 6:
-                continue
-            orders = []
-            ok = True
-            for k in range(len(ring)):
-                b = self.GetBondBetweenAtoms(ring[k], ring[(k + 1) % len(ring)])
-                if b is None:
-                    ok = False
-                    break
-                if b.is_aromatic:
-                    orders.append(None)
-                else:
-                    orders.append(b.order)
-            if not ok or None in orders:
-                continue
-            alt1 = all(
-                o == (BOND_DOUBLE if k % 2 == 0 else BOND_SINGLE)
-                for k, o in enumerate(orders)
+        """Hückel-style aromatization of Kekulé input (an approximation of
+        RDKit's default model; lowercase input flags are trusted as-is).
+
+        Per SSSR ring, each atom contributes π electrons:
+          * 1 if it sits on a double bond to a RING atom (in this ring or a
+            fused one — naphthalene fusion atoms borrow from the other ring);
+          * 0 if its only double bond is exocyclic to a non-ring atom
+            (pyridinone/quinone carbonyl carbons — sp2 but no ring electron);
+          * 2 for a N/O/S lone pair (no double bond: pyrrole NH, furan O,
+            thiophene S) and for C⁻ (cyclopentadienyl); 0 for C⁺ (tropylium);
+          * otherwise (saturated carbon, degree > 3) the ring is not aromatic.
+        A ring with Σ ≡ 2 (mod 4) aromatizes; iterate to fixpoint so fused
+        systems (naphthalene, indole written Kekulé) resolve regardless of
+        ring order. Known gap vs RDKit: whole-system perception (azulene).
+        """
+        ring_atom_set = {a.idx for a in self.atoms if a.in_ring}
+
+        def has_ring_double(i: int) -> bool:
+            for bidx in self.adjacency[i]:
+                b = self.bonds[bidx]
+                if b.order == BOND_DOUBLE or b.is_aromatic:
+                    j = b.end if b.begin == i else b.begin
+                    if j in ring_atom_set:
+                        return True
+            return False
+
+        def has_any_double(i: int) -> bool:
+            return any(
+                self.bonds[bidx].order in (BOND_DOUBLE, BOND_TRIPLE)
+                or self.bonds[bidx].is_aromatic
+                for bidx in self.adjacency[i]
             )
-            alt2 = all(
-                o == (BOND_SINGLE if k % 2 == 0 else BOND_DOUBLE)
-                for k, o in enumerate(orders)
-            )
-            if (alt1 or alt2) and all(self.atoms[a].symbol in ("C", "N") for a in ring):
+
+        def contribution(i: int):
+            a = self.atoms[i]
+            if len(self.adjacency[i]) > 3:
+                return None
+            if has_ring_double(i):
+                return 1
+            if has_any_double(i):
+                return 0  # exocyclic C=O etc.: sp2, no ring electron
+            if a.symbol in ("N", "O", "S", "P") and a.formal_charge >= 0:
+                return 2  # lone pair in the ring plane
+            if a.symbol == "C" and a.formal_charge == -1:
+                return 2
+            if a.symbol == "C" and a.formal_charge == 1:
+                return 0
+            return None  # saturated carbon → ring is not aromatic
+
+        for _ in range(len(self.rings) + 1):
+            changed = False
+            for ring in self.rings:
+                if len(ring) < 5 or len(ring) > 7:
+                    continue
+                if all(self.atoms[a].is_aromatic for a in ring):
+                    continue
+                contribs = [contribution(a) for a in ring]
+                if any(c is None for c in contribs):
+                    continue
+                if sum(contribs) % 4 != 2:
+                    continue
                 for a in ring:
-                    self.atoms[a].is_aromatic = True
+                    if not self.atoms[a].is_aromatic:
+                        self.atoms[a].is_aromatic = True
+                        changed = True
                 for k in range(len(ring)):
-                    b = self.GetBondBetweenAtoms(ring[k], ring[(k + 1) % len(ring)])
-                    b.is_aromatic = True
+                    b = self.GetBondBetweenAtoms(ring[k],
+                                                 ring[(k + 1) % len(ring)])
+                    if b is not None and not b.is_aromatic:
+                        b.is_aromatic = True
+                        changed = True
+            if not changed:
+                break
 
     def _degree_sum(self, atom: Atom) -> float:
         s = 0.0
         for bidx in self.adjacency[atom.idx]:
-            s += self.bonds[bidx].GetBondTypeAsDouble()
+            # implicit-H valence counts the KEKULÉ order when the input
+            # provided one (aromatized Kekulé rings keep exact orders —
+            # RDKit also assigns Hs on the Kekulé structure); 1.5 only for
+            # bonds WRITTEN aromatic (lowercase / ':' input)
+            s += BOND_ORDER_VALUE[self.bonds[bidx].order]
         return s
 
     def _perceive_implicit_hs(self) -> None:
@@ -418,6 +463,11 @@ class Molecule:
             deg = math.ceil(self._degree_sum(a))
             charge = a.formal_charge
             best = 0
+            if a.is_aromatic:
+                # aromatic atoms never promote to a higher valence state for
+                # implicit Hs (Daylight: substituted aromatic n has 0 H —
+                # pyrrole-type N must write [nH] explicitly)
+                valences = valences[:1]
             for v in valences:
                 v_eff = v + charge if a.symbol in ("N", "P", "B") else v - abs(charge)
                 if a.symbol in ("O", "S") and charge > 0:
@@ -468,24 +518,81 @@ class Molecule:
         return max(0, (group_electrons - a.formal_charge - bonds_e)) // 2
 
     def _perceive_conjugation(self) -> None:
-        """RDKit-lite conjugation: a bond is conjugated when both its atoms
-        carry pi density (aromatic / multiple bond / lone-pair donor adjacent
-        to a pi system)."""
-        has_pi = [False] * len(self.atoms)
+        """RDKit-semantics conjugation (pairwise rule): a MULTIPLE/aromatic
+        bond is conjugated when either end sees another π source through a
+        different bond (a second multiple bond, or a N/O/S lone-pair donor
+        across a single bond — so an ISOLATED C=C is NOT conjugated, but a
+        carbonyl next to an -OH is); a SINGLE bond is conjugated when both
+        ends independently carry π (a multiple bond elsewhere, or the atom
+        itself is a lone-pair donor) — the butadiene central bond, amide
+        C–N, aryl–NH₂."""
+
+        def is_donor(i: int) -> bool:
+            a = self.atoms[i]
+            return a.symbol in ("N", "O", "S") and self._lone_pairs(a) > 0
+
+        def other_multiple(i: int, excl: int) -> bool:
+            for bidx in self.adjacency[i]:
+                b2 = self.bonds[bidx]
+                if b2.idx == excl:
+                    continue
+                if b2.is_aromatic or b2.order in (BOND_DOUBLE, BOND_TRIPLE):
+                    return True
+            return False
+
+        def sees_pi_source(i: int, excl: int) -> bool:
+            """A second π system visible from atom i, not via bond ``excl``:
+            another multiple bond at i, a lone-pair donor one single bond
+            away, or a multiple bond one single bond away (butadiene)."""
+            for bidx in self.adjacency[i]:
+                b2 = self.bonds[bidx]
+                if b2.idx == excl:
+                    continue
+                if b2.is_aromatic or b2.order in (BOND_DOUBLE, BOND_TRIPLE):
+                    return True
+                j = b2.end if b2.begin == i else b2.begin
+                if is_donor(j) or other_multiple(j, b2.idx):
+                    return True
+            return False
+
         for b in self.bonds:
-            if b.is_aromatic or b.order in (BOND_DOUBLE, BOND_TRIPLE):
-                has_pi[b.begin] = True
-                has_pi[b.end] = True
-        # lone-pair donors (N, O, S with a lone pair) next to a pi atom
-        donor = [False] * len(self.atoms)
-        for a in self.atoms:
-            if a.symbol in ("N", "O", "S") and self._lone_pairs(a) > 0:
-                if any(has_pi[v] for v in self.neighbors(a.idx)):
-                    donor[a.idx] = True
+            if b.is_aromatic:
+                b.is_conjugated = True
+            elif b.order in (BOND_DOUBLE, BOND_TRIPLE):
+                b.is_conjugated = (sees_pi_source(b.begin, b.idx)
+                                   or sees_pi_source(b.end, b.idx))
+            else:
+                pi_b = is_donor(b.begin) or other_multiple(b.begin, b.idx)
+                pi_e = is_donor(b.end) or other_multiple(b.end, b.idx)
+                b.is_conjugated = bool(pi_b and pi_e)
+
+    def _perceive_bond_stereo(self) -> None:
+        """Double-bond E/Z from SMILES directional bonds (RDKit
+        AssignStereochemistry analog). For C(=C) with one '/' or '\\'
+        neighbor bond on each side: normalize each direction to the sense
+        seen FROM the double-bond atom; opposite senses → trans → STEREOE,
+        same → cis → STEREOZ. (RDKit ranks stereo atoms by CIP; here the
+        directional-marked neighbors ARE the stereo atoms — identical for
+        the common one-marker-per-side SMILES.)"""
+
+        def sense(u: int, excl: int):
+            for bidx in self.adjacency[u]:
+                b2 = self.bonds[bidx]
+                if b2.idx == excl or b2.direction == DIR_NONE:
+                    continue
+                s = 1 if b2.direction == DIR_ENDUPRIGHT else -1
+                # direction is written for begin→end; flip when u is the end
+                return s if b2.begin == u else -s
+            return None
+
         for b in self.bonds:
-            pi_b = has_pi[b.begin] or donor[b.begin]
-            pi_e = has_pi[b.end] or donor[b.end]
-            b.is_conjugated = bool(pi_b and pi_e)
+            if b.order != BOND_DOUBLE or b.is_aromatic or b.in_ring:
+                continue
+            s_b = sense(b.begin, b.idx)
+            s_e = sense(b.end, b.idx)
+            if s_b is None or s_e is None:
+                continue
+            b.stereo = STEREO_E if s_b != s_e else STEREO_Z
 
     # -- explicit hydrogens -------------------------------------------------
     def add_hs(self) -> "Molecule":

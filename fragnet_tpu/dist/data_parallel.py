@@ -120,22 +120,27 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     # finalizes a single-process backend and turns the initialize into a
     # silent no-op (round-2 latent bug, caught by tests/test_multiprocess.py)
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    try:
-        if addr:
-            np_ = num_processes if num_processes is not None else \
-                os.environ.get("JAX_NUM_PROCESSES", 1)
-            pid = process_id if process_id is not None else \
-                os.environ.get("JAX_PROCESS_ID", 0)
+    if addr:
+        np_ = num_processes if num_processes is not None else \
+            os.environ.get("JAX_NUM_PROCESSES", 1)
+        pid = process_id if process_id is not None else \
+            os.environ.get("JAX_PROCESS_ID", 0)
+        try:
             jax.distributed.initialize(
                 coordinator_address=addr,
                 num_processes=int(np_),
                 process_id=int(pid),
             )
-        elif os.environ.get("TPU_WORKER_HOSTNAMES"):
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
+    elif os.environ.get("TPU_WORKER_HOSTNAMES"):
+        try:
             jax.distributed.initialize()  # TPU pod autodetect
-    except RuntimeError as e:
-        if "already" not in str(e).lower():
-            raise
+        except (RuntimeError, ValueError):
+            # incomplete pod env (e.g. a tunneled single chip that still
+            # exports TPU_WORKER_HOSTNAMES) → single-process no-op
+            pass
     return jax.process_index()
 
 

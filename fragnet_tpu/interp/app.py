@@ -80,9 +80,20 @@ def run_streamlit() -> None:  # pragma: no cover - needs streamlit
                 st.image(draw_molecule(res.mol, atom_colors=res.atom_contrib,
                                        signed=True))
         with tabs[1]:
+            # attention image + masking-contribution image + table — the
+            # reference pairs images with tables in every tab (app.py:187-297)
             bw = np.zeros(res.mol.GetNumBonds())
             bw[: len(res.bond_weights)] = res.bond_weights[: len(bw)]
             st.image(draw_molecule(res.mol, bond_colors=bw))
+            if res.bond_contrib is not None:
+                bc = np.zeros(res.mol.GetNumBonds())
+                bc[: len(res.bond_contrib)] = res.bond_contrib[: len(bc)]
+                st.image(draw_molecule(res.mol, bond_colors=bc, signed=True))
+                st.dataframe({
+                    "bond": list(range(len(res.bond_weights))),
+                    "attention": res.bond_weights,
+                    "contribution": res.bond_contrib[: len(res.bond_weights)],
+                })
         with tabs[2]:
             fa = res.frag_weights[np.asarray(res.graph.atom_to_frag)]
             st.image(draw_molecule(res.mol, atom_colors=fa,
@@ -93,6 +104,17 @@ def run_streamlit() -> None:  # pragma: no cover - needs streamlit
                 "contribution": res.frag_contrib,
             })
         with tabs[3]:
+            # connection weights highlighted on the REAL bonds they cut
+            # (viz.py:857-898 frag_weight_highlight) + the table
+            if res.fconn_bonds:
+                cw = np.zeros(res.mol.GetNumBonds())
+                for k, (i, j) in enumerate(res.fconn_bonds):
+                    if k >= len(res.fconn_weights):
+                        break
+                    b = res.mol.GetBondBetweenAtoms(int(i), int(j))
+                    if b is not None:
+                        cw[b.GetIdx()] = res.fconn_weights[k]
+                st.image(draw_molecule(res.mol, bond_colors=cw))
             st.dataframe({
                 "connection": list(range(len(res.fconn_weights))),
                 "attention": res.fconn_weights,

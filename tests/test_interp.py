@@ -121,3 +121,76 @@ class TestConnectionBondMap:
         render_report(res, out)
         html = open(out).read()
         assert "connection" in html
+
+
+class TestFconnFoldingAlignment:
+    """VERDICT r2 weak #8: the folded fconn weight index must align with
+    fconn_real_bonds ordering, and the unpaired (self_cn) layout must be
+    structurally impossible to mix with paired connections."""
+
+    def test_folded_index_aligns_with_connections(self, interp):
+        """For a multi-fragment molecule: folded weight k ↔ builder
+        connection k ↔ fconn_real_bonds[k]. The directed fconn rows (2k,
+        2k+1) must connect exactly the fragment pair of connection k."""
+        import numpy as np
+
+        from fragnet_tpu.chem import engine
+        from fragnet_tpu.chem.fragments import FragmentedMol
+
+        s = "CC(=O)Oc1ccccc1C(=O)O"  # aspirin: 3 BRICS fragments
+        res = interp.interpret(s, with_contributions=False)
+        g = res.graph
+        assert g.n_frags > 1
+        assert g.n_fconn % 2 == 0  # paired layout
+        n_fold = g.n_fconn // 2
+        assert len(res.fconn_weights) == n_fold
+        assert len(res.fconn_bonds) == n_fold
+
+        mol, _ = engine.mol_3d(s)
+        fm = FragmentedMol(mol, None)
+        assert len(fm.connections) == n_fold
+        fi = np.asarray(g.frag_index)
+        for k, cn in enumerate(fm.connections):
+            want = {cn.BeginFragIdx, cn.EndFragIdx}
+            # rows 2k and 2k+1 are the two directions of connection k
+            assert {int(fi[0, 2 * k]), int(fi[1, 2 * k])} == want, k
+            assert {int(fi[0, 2 * k + 1]), int(fi[1, 2 * k + 1])} == want, k
+            # the mapped real-bond atoms belong to the two fragments
+            i, j = res.fconn_bonds[k]
+            atoms = set(cn.frags[0].atom_indices) | set(cn.frags[1].atom_indices)
+            assert i in atoms and j in atoms, k
+
+    def test_self_cn_unpaired_layout(self, interp):
+        """Single-fragment molecule: ONE directed self_cn edge, folded count
+        1, one fconn_bonds entry (fragments.py:230-234; exp1s rule
+        build.py:163-180)."""
+        res = interp.interpret("c1ccccc1", with_contributions=False)
+        assert res.graph.n_frags == 1
+        assert res.graph.n_fconn == 1  # unpaired: exp1s single-frag rule
+        assert len(res.fconn_weights) == 1
+        assert len(res.fconn_bonds) == 1
+
+    def test_unpaired_never_mixes_with_paired(self):
+        """Structural invariant behind interpret()'s fold gate: self_cn only
+        exists for single-fragment molecules (fragments.py:230-234), so a
+        graph either has exactly one unpaired fconn edge (n_frags == 1) or
+        an even, mirrored-paired count (n_frags > 1) — never a mix."""
+        import numpy as np
+
+        from fragnet_tpu.chem import engine
+        from fragnet_tpu.graphs.build import GraphBuilder
+
+        builder = GraphBuilder("exp1s")
+        for s in ["c1ccccc1", "CC", "CC(=O)Oc1ccccc1C(=O)O", "CC.OCO",
+                  "[Na+].[Cl-].CCO", "CC(C)Cc1ccc(cc1)C(C)C(=O)O"]:
+            mol, conf = engine.mol_3d(s)
+            g = builder.build(mol, conf, [0.0], smiles=s)
+            fi = np.asarray(g.frag_index)
+            if g.n_frags == 1:
+                assert g.n_fconn == 1, s
+            else:
+                assert g.n_fconn % 2 == 0 and g.n_fconn >= 2, s
+                # pairs mirror each other
+                for k in range(g.n_fconn // 2):
+                    assert (fi[0, 2 * k], fi[1, 2 * k]) == \
+                        (fi[1, 2 * k + 1], fi[0, 2 * k + 1]), (s, k)
