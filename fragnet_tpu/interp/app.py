@@ -57,14 +57,42 @@ def run_cli() -> None:
     print(f"report: {path}")
 
 
+# property registry for the sidebar selector (reference vizualize/config.py:
+# PROP_LIST / resolve_prop_model, app.py:38-64); entries are
+# name → (config_path, checkpoint_path, description for the model card)
+PROPERTIES = {
+    "Solubility (ESOL)": ("configs/ft/esol.yaml", "exps/ft/esol/ft.ckpt",
+                          "log solubility in mols/L, MoleBert scaffold split"),
+    "Lipophilicity": ("configs/ft/lipo.yaml", "exps/ft/lipo/ft.ckpt",
+                      "octanol/water logD at pH 7.4"),
+    "Custom (paths below)": (None, None, "user-supplied config/checkpoint"),
+}
+
+
 def run_streamlit() -> None:  # pragma: no cover - needs streamlit
     import streamlit as st
 
     st.set_page_config(page_title="FragNet-TPU interpretability")
     st.title("FragNet-TPU — molecular interpretability")
-    config = st.sidebar.text_input("config YAML", "configs/ft/esol.yaml")
-    ckpt = st.sidebar.text_input("checkpoint", "")
-    smiles = st.text_input("SMILES", "CC(=O)Oc1ccccc1C(=O)O")
+    # per-property selector + model card (reference app.py:99-108 sidebar)
+    prop = st.sidebar.selectbox("property", list(PROPERTIES))
+    p_cfg, p_ckpt, p_desc = PROPERTIES[prop]
+    config = st.sidebar.text_input("config YAML",
+                                   p_cfg or "configs/ft/esol.yaml")
+    ckpt = st.sidebar.text_input("checkpoint", p_ckpt or "")
+    with st.sidebar.expander("model card"):
+        st.write(f"**{prop}** — {p_desc}")
+        st.write(f"config: `{config}`")
+        st.write(f"checkpoint: `{ckpt or '(random init)'}`")
+    # molecule input: Ketcher editor when the component is installed
+    # (reference app.py:99-108), plain text box otherwise
+    smiles = None
+    try:
+        from streamlit_ketcher import st_ketcher
+
+        smiles = st_ketcher("CC(=O)Oc1ccccc1C(=O)O")
+    except ImportError:
+        smiles = st.text_input("SMILES", "CC(=O)Oc1ccccc1C(=O)O")
     if st.button("Interpret") and smiles:
         from fragnet_tpu.interp.render import draw_molecule
 
