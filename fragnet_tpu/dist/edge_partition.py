@@ -165,6 +165,33 @@ def with_ep_tile_meta(batch, n_shards: int, tn: int = 256, te: int = 256,
     return dataclasses.replace(batch, **tms), True
 
 
+def pin_ep_widths(loaders, n_shards: int, tn: int = 256, te: int = 256,
+                  n_probe_epochs: int = 2) -> dict:
+    """Probe full epochs of every loader and return ONE set of per-level
+    static tile widths {'tm_atom': (Tg, n_chunks, k_src), ...} with one unit
+    of slack on each (shuffling loaders re-window molecules per epoch;
+    build_ep_tile_meta clamps each pin to its array bound)."""
+    pins: dict = {}
+    for loader in loaders:
+        for _ in range(n_probe_epochs):
+            for b in loader:
+                b2, ok = with_ep_tile_meta(EPMetaLoader._host(b), n_shards,
+                                           tn, te)
+                if not ok:
+                    raise ValueError(
+                        "EP tile-meta probe failed: batch violates TCSR "
+                        "layout (pad edge counts to a multiple of "
+                        "n_shards*te and node counts to tn, or set "
+                        "dist.tcsr=false)")
+                for lvl in EPMetaLoader._LEVELS:
+                    tm = getattr(b2, lvl)
+                    cur = pins.get(lvl, (1, 1, 1))
+                    pins[lvl] = (max(cur[0], tm.n_tiles_grid),
+                                 max(cur[1], tm.n_chunks),
+                                 max(cur[2], tm.k_src))
+    return {lvl: (tg + 1, c + 1, k + 1) for lvl, (tg, c, k) in pins.items()}
+
+
 class EPMetaLoader:
     """Wraps a batch loader for edge-partitioned fused-kernel training:
     probes the first ``n_probe`` batches to pin the per-level static tile
@@ -176,29 +203,14 @@ class EPMetaLoader:
     _LEVELS = ("tm_atom", "tm_bond", "tm_frag", "tm_fc")
 
     def __init__(self, loader, n_shards: int, tn: int = 256, te: int = 256,
-                 n_probe: int = 8):
+                 n_probe_epochs: int = 2, pins: Optional[dict] = None):
         self.loader = loader
         self.n_shards = n_shards
         self.tn, self.te = tn, te
-        pins: dict = {}
-        probed = 0
-        for b in loader:
-            b2, ok = with_ep_tile_meta(self._host(b), n_shards, tn, te)
-            if not ok:
-                raise ValueError(
-                    "EP tile-meta probe failed: batch violates TCSR layout "
-                    "(pad edge counts to a multiple of n_shards*te and node "
-                    "counts to tn, or set dist.tcsr=false)")
-            for lvl in self._LEVELS:
-                tm = getattr(b2, lvl)
-                cur = pins.get(lvl, (1, 1, 1))
-                pins[lvl] = (max(cur[0], tm.n_tiles_grid),
-                             max(cur[1], tm.n_chunks + 1),  # slack chunk
-                             max(cur[2], tm.k_src))
-            probed += 1
-            if probed >= n_probe:
-                break
-        self.pins = pins
+        # pins may be provided (pin_ep_widths over ALL of a run's loaders —
+        # train/val/test must share ONE compiled step, so ONE set of statics)
+        self.pins = pins if pins is not None else pin_ep_widths(
+            [loader], n_shards, tn, te, n_probe_epochs)
 
     @staticmethod
     def _host(b):

@@ -309,15 +309,21 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
     if dist_mode == "ep" and fp.tcsr:
         # fused Pallas kernel on each shard's edge range
         # (dist/edge_partition.py:EPMetaLoader + pallas_gat_pass_ep)
-        from fragnet_tpu.dist.edge_partition import EPMetaLoader
+        from fragnet_tpu.dist.edge_partition import (
+            EPMetaLoader, pin_ep_widths)
 
         try:
+            # ONE set of static widths across train/val/test — they share
+            # the compiled EP step, so their metas must share a treedef
+            ep_pins = pin_ep_widths(
+                [train_loader, val_loader, test_loader], mesh.size,
+                tn=ep_tile, te=ep_tile)
             train_loader = EPMetaLoader(train_loader, mesh.size, tn=ep_tile,
-                                        te=ep_tile)
+                                        te=ep_tile, pins=ep_pins)
             val_loader = EPMetaLoader(val_loader, mesh.size, tn=ep_tile,
-                                      te=ep_tile)
+                                      te=ep_tile, pins=ep_pins)
             test_loader = EPMetaLoader(test_loader, mesh.size, tn=ep_tile,
-                                       te=ep_tile)
+                                       te=ep_tile, pins=ep_pins)
             if not quiet:
                 print(f"ep fused kernel active (tile={ep_tile})")
         except ValueError as e:

@@ -176,3 +176,34 @@ class TestDPTrainingMode:
             assert stacked.x_atoms.ndim == 3  # (D, A, F)
             total += int(np.asarray(stacked.graph_mask).sum())
         assert total == len(ft_graphs)
+
+
+class TestEPFusedTrainingMode:
+    def test_run_finetune_ep_fused_mode(self, tmp_path, ft_graphs):
+        """dist.mode=ep with dist.tcsr=true: the CLI's EPMetaLoader probe,
+        static-width pinning, and fused-kernel EP train/eval steps run a
+        full (tiny) finetune over the virtual mesh."""
+        import jax
+
+        from fragnet_tpu.config import Config
+        from fragnet_tpu.train.finetune import run_finetune
+
+        assert len(jax.devices()) >= 4
+        tr = ft_graphs * 2
+        va = ft_graphs[:4]
+        te = ft_graphs[4:]
+        opt = Config({
+            "seed": 0,
+            "exp_dir": str(tmp_path / "ep_exp"),
+            "dist": {"mode": "ep", "n_devices": 4, "tcsr": True, "tile": 8},
+            "finetune": {
+                "model": {"num_layer": 1, "num_heads": 2, "emb_dim": 32,
+                          "h1": 16, "h2": 16, "h3": 16, "h4": 16,
+                          "drop_ratio": 0.0},
+                "batch_size": 4, "lr": 1e-3, "n_epochs": 1,
+                "es_patience": 5, "tcsr": True,
+            },
+        })
+        value, _ = run_finetune(opt, quiet=True,
+                                datasets=(tr, va, te, 1, "regr"))
+        assert np.isfinite(value)
