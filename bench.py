@@ -28,6 +28,27 @@ import numpy as np
 
 def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    # Watchdog: a wedged device (e.g. a stuck grant on the tunneled TPU)
+    # hangs the first fetch forever; the driver must still get ONE JSON line.
+    import threading
+
+    first_step_done = threading.Event()
+
+    def _watchdog(limit: float) -> None:
+        if not first_step_done.wait(limit):
+            print(json.dumps({
+                "metric": "train_message_edges_per_sec", "value": 0.0,
+                "unit": "edges/s", "vs_baseline": 0.0,
+                "error": f"device unresponsive: first step not done "
+                         f"within {limit:.0f}s (watchdog)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(
+        target=_watchdog,
+        args=(float(os.environ.get("BENCH_WATCHDOG_S", 900)),),
+        daemon=True,
+    ).start()
     import jax
 
     from fragnet_tpu.data.batcher import BatchLoader
@@ -90,6 +111,7 @@ def main() -> None:
     # float() of the last step's loss.
     state, loss = step(state, device_batches[0], rng)
     _ = float(loss)
+    first_step_done.set()
 
     # --- Mosaic numerics gate (VERDICT r2 weak #5): the REAL TPU lowering of
     # the fused kernel must match the XLA segment path on device — the CPU
