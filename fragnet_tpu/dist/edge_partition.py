@@ -126,7 +126,7 @@ EP_SHARDED_FIELDS = (
 )
 
 
-def with_ep_tile_meta(batch, n_shards: int, tn: int = 256, te: int = 256,
+def with_ep_tile_meta(batch, n_shards: int, tn: int = 128, te: int = 256,
                       pins: Optional[dict] = None):
     """Attach per-shard TCSR metadata (ops/tcsr.py:EPTileMeta) for all four
     levels so the EP train step runs the fused Pallas kernel on each shard's
@@ -165,7 +165,7 @@ def with_ep_tile_meta(batch, n_shards: int, tn: int = 256, te: int = 256,
     return dataclasses.replace(batch, **tms), True
 
 
-def pin_ep_widths(loaders, n_shards: int, tn: int = 256, te: int = 256,
+def pin_ep_widths(loaders, n_shards: int, tn: int = 128, te: int = 256,
                   n_probe_epochs: int = 2) -> dict:
     """Probe full epochs of every loader and return ONE set of per-level
     static tile widths {'tm_atom': (Tg, n_chunks, k_src), ...} with one unit
@@ -202,7 +202,7 @@ class EPMetaLoader:
 
     _LEVELS = ("tm_atom", "tm_bond", "tm_frag", "tm_fc")
 
-    def __init__(self, loader, n_shards: int, tn: int = 256, te: int = 256,
+    def __init__(self, loader, n_shards: int, tn: int = 128, te: int = 256,
                  n_probe_epochs: int = 2, pins: Optional[dict] = None):
         self.loader = loader
         self.n_shards = n_shards

@@ -123,8 +123,12 @@ class PadSpec:
     k_fc: Optional[int] = None
     # TCSR tiling for the fused Pallas kernel (ops/pallas_gat.py): tile sizes
     # plus pinned (n_chunks, k_src) per level so every batch compiles to the
-    # same kernel. None disables the Pallas path.
-    tn: int = 256
+    # same kernel. None disables the Pallas path. Defaults (tn=128, te=256)
+    # are the measured v5e optimum (scripts/tile_sweep.py; BASELINE.md): the
+    # one-hot gather matmul width scales with tn, so narrower node tiles beat
+    # wider ones — tn=128 is +6% train edges/s over tn=256, and every
+    # neighboring config (64/256/512 tn, 128/512/1024 te) measures slower.
+    tn: int = 128
     te: int = 256
     tc_atom: Optional[tuple] = None
     tc_bond: Optional[tuple] = None
@@ -157,7 +161,7 @@ def _max_indeg(dst_rows, n_nodes: int) -> int:
 
 def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
              multiple: int = 8, ell: bool = False,
-             tcsr: bool = False, tn: int = 256, te: int = 256) -> PadSpec:
+             tcsr: bool = False, tn: int = 128, te: int = 256) -> PadSpec:
     """Compute a PadSpec covering any window of ``batch_size`` graphs from the
     dataset: batch_size × the max per-molecule counts is always safe but
     wasteful; we use max over a sliding sum bound = batch_size * p95 + max,

@@ -47,7 +47,7 @@ def build_tile_meta(
     dst: np.ndarray,
     edge_mask: np.ndarray,
     n_nodes: int,
-    tn: int = 256,
+    tn: int = 128,
     te: int = 256,
     n_chunks: Optional[int] = None,
     k_src: Optional[int] = None,
@@ -177,7 +177,7 @@ def build_ep_tile_meta(
     edge_mask: np.ndarray,
     n_nodes: int,
     n_shards: int,
-    tn: int = 256,
+    tn: int = 128,
     te: int = 256,
     n_chunks: Optional[int] = None,
     k_src: Optional[int] = None,

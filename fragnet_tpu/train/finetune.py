@@ -253,9 +253,14 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
 
         n_dev = int(dist.get("n_devices", 0)) or len(jax.devices())
         mesh = make_mesh(n_dev, axis="ep")
-        # fused EP kernel needs node counts % tn and edge counts % (S·te)
-        ep_tile = int(dist.get("tile", 256 if fp.on_tpu else 8))
-        mult = ep_tile * n_dev if fp.tcsr else 8 * n_dev
+        # fused EP kernel needs node counts % tn and edge counts % (S·te).
+        # dist.tile sets both; dist.tile_tn / dist.tile_te override
+        # individually (defaults = the measured v5e optimum, BASELINE.md)
+        ep_tn = int(dist.get("tile_tn",
+                             dist.get("tile", 128 if fp.on_tpu else 8)))
+        ep_te = int(dist.get("tile_te",
+                             dist.get("tile", 256 if fp.on_tpu else 8)))
+        mult = max(ep_tn, ep_te) * n_dev if fp.tcsr else 8 * n_dev
         spec = spec_for(train_g + val_g + test_g, batch_size=bs,
                         multiple=mult)
     elif dist_mode == "dp":
@@ -317,15 +322,15 @@ def run_finetune(opt, quiet: bool = False, datasets=None):
             # the compiled EP step, so their metas must share a treedef
             ep_pins = pin_ep_widths(
                 [train_loader, val_loader, test_loader], mesh.size,
-                tn=ep_tile, te=ep_tile)
-            train_loader = EPMetaLoader(train_loader, mesh.size, tn=ep_tile,
-                                        te=ep_tile, pins=ep_pins)
-            val_loader = EPMetaLoader(val_loader, mesh.size, tn=ep_tile,
-                                      te=ep_tile, pins=ep_pins)
-            test_loader = EPMetaLoader(test_loader, mesh.size, tn=ep_tile,
-                                       te=ep_tile, pins=ep_pins)
+                tn=ep_tn, te=ep_te)
+            train_loader = EPMetaLoader(train_loader, mesh.size, tn=ep_tn,
+                                        te=ep_te, pins=ep_pins)
+            val_loader = EPMetaLoader(val_loader, mesh.size, tn=ep_tn,
+                                      te=ep_te, pins=ep_pins)
+            test_loader = EPMetaLoader(test_loader, mesh.size, tn=ep_tn,
+                                       te=ep_te, pins=ep_pins)
             if not quiet:
-                print(f"ep fused kernel active (tile={ep_tile})")
+                print(f"ep fused kernel active (tn={ep_tn} te={ep_te})")
         except ValueError as e:
             if not quiet:
                 print(f"ep fused kernel off: {e}")

@@ -35,8 +35,10 @@ def main() -> None:
     n_mols = int(os.environ.get("SWEEP_N_MOLS", 256))
     batch_size = min(256, n_mols)
     n_steps = int(os.environ.get("SWEEP_STEPS", 40))
-    configs = [(256, 256), (256, 512), (512, 512), (256, 1024),
-               (512, 1024), (128, 256)]
+    configs = [(128, 256), (128, 128), (64, 256), (64, 128), (128, 512)]
+    if os.environ.get("SWEEP_CONFIGS"):
+        configs = [tuple(map(int, c.split("x")))
+                   for c in os.environ["SWEEP_CONFIGS"].split(",")]
 
     cache = f"/tmp/tile_sweep_graphs_{n_mols}.pkl"
     if os.path.exists(cache):
