@@ -242,6 +242,7 @@ def build_layout(template: HierGraphBatch, compute_dtype=jnp.float32,
         n_tiles = len(np.asarray(tm.ew_blk))
         add(f"{lvl}.ew_blk", U16, (n_tiles,), "int32")
         add(f"{lvl}.sw_tile", U16, (n_tiles,), "int32")
+        add(f"{lvl}.cw", U16, (n_tiles,), "int32")
         if not compact:  # compact derives flat_slot from ew_blk + dst + arange
             add(f"{lvl}.flat_slot", I32,
                 np.asarray(tm.flat_slot).shape, "int32")
@@ -468,6 +469,6 @@ def unpack_batch(buf: jnp.ndarray, layout: PackLayout) -> HierGraphBatch:
             flat = tile * (nc * te) + (eids - parts["ew_blk"][tile] * te)
             flat = jnp.where(mask > 0, flat, 0)
         fields[lvl] = TileMeta(ew_blk=parts["ew_blk"], sw_tile=parts["sw_tile"],
-                               flat_slot=flat, tn=tn, te=te, n_chunks=nc,
-                               k_src=kk)
+                               flat_slot=flat, cw=parts["cw"], tn=tn, te=te,
+                               n_chunks=nc, k_src=kk)
     return HierGraphBatch(**fields)

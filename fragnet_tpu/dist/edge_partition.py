@@ -264,8 +264,9 @@ def ep_batch_specs(batch, axis: str = "ep"):
                     f"{f.name} (use with_ep_tile_meta), got {type(v).__name__}")
             specs[f.name] = EPTileMeta(
                 t0=P(axis), ew_blk=P(axis), sw_tile=P(axis),
-                flat_slot=P(axis), tn=v.tn, te=v.te, n_chunks=v.n_chunks,
-                k_src=v.k_src, n_tiles_grid=v.n_tiles_grid)
+                flat_slot=P(axis), cw=P(axis), tn=v.tn, te=v.te,
+                n_chunks=v.n_chunks, k_src=v.k_src,
+                n_tiles_grid=v.n_tiles_grid)
         elif f.name in EP_SHARDED_FIELDS:
             specs[f.name] = P(axis)
         else:

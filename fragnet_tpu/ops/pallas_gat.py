@@ -102,8 +102,8 @@ def _seg_max(oh_b, z, H, te, width):
 # forward kernel
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(t0_ref, ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
-                self_loops, slope, big_prec):
+def _fwd_kernel(t0_ref, ew_ref, sw_ref, cw_ref, *refs, tn, te, k, n_chunks,
+                H, D, Da, self_loops, slope, big_prec):
     (wn_dst_ref, *rest) = refs
     wn_win_refs = rest[:k]
     nf_dst_ref = rest[k]
@@ -133,50 +133,55 @@ def _fwd_kernel(t0_ref, ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
             acc_den[:] = jnp.zeros((tn, H), f32)
             acc_num[:] = jnp.zeros((tn, HD), f32)
 
-    wn_win = jnp.concatenate([r[:] for r in wn_win_refs], axis=0)  # (K*Tn, 2H)
-    nf_win = jnp.concatenate([r[:] for r in nf_win_refs], axis=0)  # (K*Tn, HD)
+    # chunks past the tile's REAL window width hold no edges of this tile
+    # (ops/tcsr.py:cw; cw ≥ 1): skip their compute entirely — their edge-block
+    # index maps are clamped to cw[t]-1 so the pipeline also elides the DMA.
+    @pl.when(c < cw_ref[t])
+    def _compute():
+        wn_win = jnp.concatenate([r[:] for r in wn_win_refs], axis=0)  # (K*Tn, 2H)
+        nf_win = jnp.concatenate([r[:] for r in nf_win_refs], axis=0)  # (K*Tn, HD)
 
-    dst_l = dst_ref[:] - t_abs * tn              # (Te, 1) i32
-    src_l = src_ref[:] - sw_ref[t] * tn
-    keep = (dst_l >= 0) & (dst_l < tn) & (emask_ref[:] > 0)
-    oh_dst_b = (dst_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)) & keep
-    oh_src_b = (src_l == jax.lax.broadcasted_iota(jnp.int32, (te, k * tn), 1)) & keep
-    oh_dst = oh_dst_b.astype(f32)
-    keep_f = keep.astype(f32)
+        dst_l = dst_ref[:] - t_abs * tn              # (Te, 1) i32
+        src_l = src_ref[:] - sw_ref[t] * tn
+        keep = (dst_l >= 0) & (dst_l < tn) & (emask_ref[:] > 0)
+        oh_dst_b = (dst_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)) & keep
+        oh_src_b = (src_l == jax.lax.broadcasted_iota(jnp.int32, (te, k * tn), 1)) & keep
+        oh_dst = oh_dst_b.astype(f32)
+        keep_f = keep.astype(f32)
 
-    z = (
-        jax.lax.dot_general(oh_dst, w_dst_tile, (((1,), (0,)), ((), ())),
-                            precision=big_prec)
-        + jax.lax.dot_general(oh_src_b.astype(f32), wn_win[:, H:],
-                              (((1,), (0,)), ((), ())), precision=big_prec)
-        + w_ea_ref[:]
-    )
-    z = _leaky(z, slope)
-    z = jnp.where(keep, z, _NEG)                 # (Te, H)
+        z = (
+            jax.lax.dot_general(oh_dst, w_dst_tile, (((1,), (0,)), ((), ())),
+                                precision=big_prec)
+            + jax.lax.dot_general(oh_src_b.astype(f32), wn_win[:, H:],
+                                  (((1,), (0,)), ((), ())), precision=big_prec)
+            + w_ea_ref[:]
+        )
+        z = _leaky(z, slope)
+        z = jnp.where(keep, z, _NEG)                 # (Te, H)
 
-    # per-tile-node max of this chunk
-    cmax = _seg_max(oh_dst_b, z, H, te, tn)      # (Tn, H)
+        # per-tile-node max of this chunk
+        cmax = _seg_max(oh_dst_b, z, H, te, tn)      # (Tn, H)
 
-    m_new = jnp.maximum(acc_m[:], cmax)
-    scale = jnp.exp(acc_m[:] - m_new)
-    acc_den[:] = acc_den[:] * scale
-    acc_num[:] = acc_num[:] * _hrep(scale, D, big_prec)
+        m_new = jnp.maximum(acc_m[:], cmax)
+        scale = jnp.exp(acc_m[:] - m_new)
+        acc_den[:] = acc_den[:] * scale
+        acc_num[:] = acc_num[:] * _hrep(scale, D, big_prec)
 
-    m_e = _gather_rows(oh_dst, m_new, big_prec)  # (Te, H)
-    p = jnp.exp(z - m_e) * keep_f                # (Te, H) f32
-    acc_den[:] = acc_den[:] + _scatter_rows(oh_dst, p, big_prec)
+        m_e = _gather_rows(oh_dst, m_new, big_prec)  # (Te, H)
+        p = jnp.exp(z - m_e) * keep_f                # (Te, H) f32
+        acc_den[:] = acc_den[:] + _scatter_rows(oh_dst, p, big_prec)
 
-    nfdt = nf_win.dtype
-    h_src = jax.lax.dot_general(
-        oh_src_b.astype(nfdt), nf_win, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=big_prec,
-    )                                            # (Te, HD) f32
-    weighted = h_src * _hrep(p, D, big_prec)
-    acc_num[:] = acc_num[:] + jax.lax.dot_general(
-        oh_dst, weighted, (((0,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=big_prec,
-    )
-    acc_m[:] = m_new
+        nfdt = nf_win.dtype
+        h_src = jax.lax.dot_general(
+            oh_src_b.astype(nfdt), nf_win, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=big_prec,
+        )                                            # (Te, HD) f32
+        weighted = h_src * _hrep(p, D, big_prec)
+        acc_num[:] = acc_num[:] + jax.lax.dot_general(
+            oh_dst, weighted, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=big_prec,
+        )
+        acc_m[:] = m_new
 
     @pl.when(c == n_chunks - 1)
     def _fin():
@@ -191,8 +196,8 @@ def _fwd_kernel(t0_ref, ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
 # backward kernel
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(t0_ref, ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
-                self_loops, slope, big_prec):
+def _bwd_kernel(t0_ref, ew_ref, sw_ref, cw_ref, *refs, tn, te, k, n_chunks,
+                H, D, Da, self_loops, slope, big_prec):
     (wn_dst_ref, *rest) = refs
     wn_win_refs = rest[:k]
     nf_dst_ref = rest[k]
@@ -237,66 +242,78 @@ def _bwd_kernel(t0_ref, ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
     def _init_asrc():
         acc_dasrc[:] = jnp.zeros((8, max(H * D, 128)), f32)
 
-    wn_win = jnp.concatenate([r[:] for r in wn_win_refs], axis=0)
-    nf_win = jnp.concatenate([r[:] for r in nf_win_refs], axis=0)
+    valid = c < cw_ref[t]
 
-    dst_l = dst_ref[:] - t_abs * tn
-    src_l = src_ref[:] - sw_ref[t] * tn
-    keep = (dst_l >= 0) & (dst_l < tn) & (emask_ref[:] > 0)
-    oh_dst_b = (dst_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)) & keep
-    oh_src_b = (src_l == jax.lax.broadcasted_iota(jnp.int32, (te, k * tn), 1)) & keep
-    oh_dst = oh_dst_b.astype(f32)
-    keep_f = keep.astype(f32)
+    @pl.when(valid)
+    def _compute():
+        wn_win = jnp.concatenate([r[:] for r in wn_win_refs], axis=0)
+        nf_win = jnp.concatenate([r[:] for r in nf_win_refs], axis=0)
 
-    z_pre = (
-        jax.lax.dot_general(oh_dst, wn_dst[:, :H], (((1,), (0,)), ((), ())),
-                            precision=big_prec)
-        + jax.lax.dot_general(oh_src_b.astype(f32), wn_win[:, H:],
-                              (((1,), (0,)), ((), ())), precision=big_prec)
-        + w_ea_ref[:]
-    )
-    logit = jnp.where(keep, _leaky(z_pre, slope), _NEG)
-    m_e = _gather_rows(oh_dst, m_tile, big_prec)
-    den_e = _gather_rows(oh_dst, den_g, big_prec)
-    den_e = jnp.where(den_e == 0.0, 1.0, den_e)
-    p = jnp.exp(logit - m_e) / den_e * keep_f     # (Te, H)
+        dst_l = dst_ref[:] - t_abs * tn
+        src_l = src_ref[:] - sw_ref[t] * tn
+        keep = (dst_l >= 0) & (dst_l < tn) & (emask_ref[:] > 0)
+        oh_dst_b = (dst_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)) & keep
+        oh_src_b = (src_l == jax.lax.broadcasted_iota(jnp.int32, (te, k * tn), 1)) & keep
+        oh_dst = oh_dst_b.astype(f32)
+        keep_f = keep.astype(f32)
 
-    nfdt = nf_win.dtype
-    h_src = jax.lax.dot_general(
-        oh_src_b.astype(nfdt), nf_win, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=big_prec,
-    )
-    gout_e = jax.lax.dot_general(
-        oh_dst, gout_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=big_prec,
-    )                                             # (Te, HD)
-    d_p = _hsum(gout_e * h_src, H, D)             # (Te, H)
-    s_e = _gather_rows(oh_dst, s_tile, big_prec)
-    d_logit = p * (d_p - s_e)
-    d_zpre = d_logit * jnp.where(z_pre > 0, 1.0, slope) * keep_f
+        z_pre = (
+            jax.lax.dot_general(oh_dst, wn_dst[:, :H], (((1,), (0,)), ((), ())),
+                                precision=big_prec)
+            + jax.lax.dot_general(oh_src_b.astype(f32), wn_win[:, H:],
+                                  (((1,), (0,)), ((), ())), precision=big_prec)
+            + w_ea_ref[:]
+        )
+        logit = jnp.where(keep, _leaky(z_pre, slope), _NEG)
+        m_e = _gather_rows(oh_dst, m_tile, big_prec)
+        den_e = _gather_rows(oh_dst, den_g, big_prec)
+        den_e = jnp.where(den_e == 0.0, 1.0, den_e)
+        p = jnp.exp(logit - m_e) / den_e * keep_f     # (Te, H)
 
-    d_z_ref[0] = d_zpre
-    acc_dwdst[:] = acc_dwdst[:] + _scatter_rows(oh_dst, d_zpre, big_prec)
+        nfdt = nf_win.dtype
+        h_src = jax.lax.dot_general(
+            oh_src_b.astype(nfdt), nf_win, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=big_prec,
+        )
+        gout_e = jax.lax.dot_general(
+            oh_dst, gout_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=big_prec,
+        )                                             # (Te, HD)
+        d_p = _hsum(gout_e * h_src, H, D)             # (Te, H)
+        s_e = _gather_rows(oh_dst, s_tile, big_prec)
+        d_logit = p * (d_p - s_e)
+        d_zpre = d_logit * jnp.where(z_pre > 0, 1.0, slope) * keep_f
 
-    # d_h_src = p ⊗ g_out[dst]  +  d_zpre ⊗ a_src   (per edge, per head)
-    # a_src arrives pre-flattened: row 0 of a_src_ref is (1, HD) head-major
-    a_flat = jax.lax.slice(a_src_ref[:].astype(f32), (0, 0), (1, HD))
-    d_hsrc = gout_e * _hrep(p, D, big_prec) \
-        + _hrep(d_zpre, D, big_prec) * jnp.broadcast_to(a_flat, (te, HD))
-    acc_dnfw[:] = acc_dnfw[:] + jax.lax.dot_general(
-        oh_src_b.astype(f32), d_hsrc, (((0,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=big_prec,
-    )
-    # d_a_src += Σ_e d_zpre[e,h] · h_src[e,h,:] — accumulated flat: row 0 of
-    # the (8, ≥HD) accumulator holds the (1, HD) head-major vector
-    prod = _hrep(d_zpre, D, big_prec) * h_src     # (Te, HD)
-    flat = jnp.sum(prod, axis=0, keepdims=True)   # (1, HD)
-    pad_w = acc_dasrc.shape[1]
-    if pad_w > HD:
-        flat = jnp.concatenate([flat, jnp.zeros((1, pad_w - HD), f32)], axis=1)
-    upd = jnp.concatenate(
-        [flat, jnp.zeros((7, pad_w), f32)], axis=0)
-    acc_dasrc[:] = acc_dasrc[:] + upd
+        d_z_ref[0] = d_zpre
+        acc_dwdst[:] = acc_dwdst[:] + _scatter_rows(oh_dst, d_zpre, big_prec)
+
+        # d_h_src = p ⊗ g_out[dst]  +  d_zpre ⊗ a_src   (per edge, per head)
+        # a_src arrives pre-flattened: row 0 of a_src_ref is (1, HD) head-major
+        a_flat = jax.lax.slice(a_src_ref[:].astype(f32), (0, 0), (1, HD))
+        d_hsrc = gout_e * _hrep(p, D, big_prec) \
+            + _hrep(d_zpre, D, big_prec) * jnp.broadcast_to(a_flat, (te, HD))
+        acc_dnfw[:] = acc_dnfw[:] + jax.lax.dot_general(
+            oh_src_b.astype(f32), d_hsrc, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=big_prec,
+        )
+        # d_a_src += Σ_e d_zpre[e,h] · h_src[e,h,:] — accumulated flat: row 0
+        # of the (8, ≥HD) accumulator holds the (1, HD) head-major vector
+        prod = _hrep(d_zpre, D, big_prec) * h_src     # (Te, HD)
+        flat = jnp.sum(prod, axis=0, keepdims=True)   # (1, HD)
+        pad_w = acc_dasrc.shape[1]
+        if pad_w > HD:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((1, pad_w - HD), f32)], axis=1)
+        upd = jnp.concatenate(
+            [flat, jnp.zeros((7, pad_w), f32)], axis=0)
+        acc_dasrc[:] = acc_dasrc[:] + upd
+
+    # dead chunk: its d_z block is still written back each grid step, and
+    # flat_slot never references it — zero it so no uninitialized memory can
+    # reach the epilogue gather (NaN·0 = NaN)
+    @pl.when(jnp.logical_not(valid))
+    def _zero_dz():
+        d_z_ref[0] = jnp.zeros((te, H), f32)
 
     @pl.when(c == n_chunks - 1)
     def _fin():
@@ -315,23 +332,29 @@ def _bwd_kernel(t0_ref, ew_ref, sw_ref, *refs, tn, te, k, n_chunks, H, D, Da,
 def _node_specs(k, tn, width):
     """BlockSpecs for a node-space array: dst tile (absolute: t0 offset for
     EP shard grids) + k source-window tiles (sw is absolute already)."""
-    dst = pl.BlockSpec((tn, width), lambda t, c, t0, ew, sw: (t0[0] + t, 0))
+    dst = pl.BlockSpec((tn, width),
+                       lambda t, c, t0, ew, sw, cw: (t0[0] + t, 0))
     wins = [
         pl.BlockSpec((tn, width),
                      functools.partial(
-                         lambda kk, t, c, t0, ew, sw: (sw[t] + kk, 0), kk))
+                         lambda kk, t, c, t0, ew, sw, cw: (sw[t] + kk, 0), kk))
         for kk in range(k)
     ]
     return [dst] + wins
 
 
 def _edge_spec(te, width):
-    return pl.BlockSpec((te, width), lambda t, c, t0, ew, sw: (ew[t] + c, 0))
+    """Edge-chunk block. Dead chunks (c ≥ cw[t], no edges of tile t) clamp to
+    the tile's last real chunk: the block index then repeats, so the Pallas
+    pipeline elides the refetch, and the kernel skips the compute."""
+    return pl.BlockSpec(
+        (te, width),
+        lambda t, c, t0, ew, sw, cw: (ew[t] + jnp.minimum(c, cw[t] - 1), 0))
 
 
 def _tile_spec(tn, width):
     """Grid-local node-space block (outputs and per-tile state)."""
-    return pl.BlockSpec((tn, width), lambda t, c, t0, ew, sw: (t, 0))
+    return pl.BlockSpec((tn, width), lambda t, c, t0, ew, sw, cw: (t, 0))
 
 
 @functools.lru_cache(maxsize=64)
@@ -362,7 +385,7 @@ def _build(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
     fwd = pl.pallas_call(
         functools.partial(_fwd_kernel, **kparams),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=in_specs,
             out_specs=[_tile_spec(tn, HD), _tile_spec(tn, H), _tile_spec(tn, H)],
@@ -391,13 +414,13 @@ def _build(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
            _tile_spec(tn, HD),  # g_out
            _tile_spec(tn, H),   # s
            pl.BlockSpec((8, max(H * D, 128)),
-                        lambda t, c, t0, ew, sw: (0, 0)),  # a_src
+                        lambda t, c, t0, ew, sw, cw: (0, 0)),  # a_src
            ]
     )
     bwd = pl.pallas_call(
         functools.partial(_bwd_kernel, **kparams),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=bwd_in_specs,
             out_specs=[
@@ -405,11 +428,11 @@ def _build(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
                 _tile_spec(tn, H),                              # d_wself
                 _tile_spec(tn, HD),                             # d_nf_dst
                 pl.BlockSpec((1, te, H),
-                             lambda t, c, t0, ew, sw: (t * n_chunks + c, 0, 0)),
+                             lambda t, c, t0, ew, sw, cw: (t * n_chunks + c, 0, 0)),
                 pl.BlockSpec((1, k * tn, HD),
-                             lambda t, c, t0, ew, sw: (t, 0, 0)),  # d_nf_win
+                             lambda t, c, t0, ew, sw, cw: (t, 0, 0)),  # d_nf_win
                 pl.BlockSpec((8, max(H * D, 128)),
-                             lambda t, c, t0, ew, sw: (0, 0)),     # d_a_src
+                             lambda t, c, t0, ew, sw, cw: (0, 0)),     # d_a_src
             ],
             scratch_shapes=[
                 pltpu.VMEM((tn, H), jnp.float32),
@@ -452,24 +475,24 @@ def _make_op(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
 
     t0_zero = np.zeros((1,), np.int32)
 
-    def run_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile):
+    def run_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile, cw):
         wn, w_ea, *_ = prologue(nf, ea, a)
         nf_flat = nf.reshape(N, HD)
         src2 = src.reshape(E, 1).astype(jnp.int32)
         dst2 = dst.reshape(E, 1).astype(jnp.int32)
         em2 = emask.reshape(E, 1).astype(f32)
         args = [wn] * (k + 1) + [nf_flat] * (k + 1) + [w_ea, src2, dst2, em2]
-        out, m, den = fwd_call(t0_zero, ew_blk, sw_tile, *args)
+        out, m, den = fwd_call(t0_zero, ew_blk, sw_tile, cw, *args)
         return out, m, den
 
     @jax.custom_vjp
-    def op(nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot):
-        out, m, den = run_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile)
+    def op(nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot, cw):
+        out, m, den = run_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile, cw)
         return out.reshape(N, H, D).astype(nf.dtype), m, den
 
-    def op_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot):
-        out, m, den = run_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile)
-        res = (nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot,
+    def op_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot, cw):
+        out, m, den = run_fwd(nf, ea, src, dst, emask, a, ew_blk, sw_tile, cw)
+        res = (nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot, cw,
                out, m, den)
         return (out.reshape(N, H, D).astype(nf.dtype), m, den), res
 
@@ -477,7 +500,7 @@ def _make_op(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
         # m/den cotangents are ignored: they only feed the stop-gradient
         # attention epilogue (interpretability outputs, never trained on).
         g = gs[0]
-        (nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot,
+        (nf, ea, src, dst, emask, a, ew_blk, sw_tile, flat_slot, cw,
          out, m, den) = res
         wn, w_ea, a_dst, a_ea, a_src = prologue(nf, ea, a)
         g32 = g.reshape(N, HD).astype(f32)
@@ -491,7 +514,7 @@ def _make_op(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
         args = ([wn] * (k + 1) + [nf_flat] * (k + 1)
                 + [w_ea, src2, dst2, em2, m, den, g32, s, a_src_pad])
         d_wdst, d_wself, d_nfdst, d_z_tiled, d_nfwin, d_asrc_pad = bwd_call(
-            t0_zero, ew_blk, sw_tile, *args)
+            t0_zero, ew_blk, sw_tile, cw, *args)
 
         nf32 = nf.astype(f32)
         d_z = d_z_tiled.reshape(-1, H)[flat_slot]         # (E, H) gather
@@ -521,7 +544,8 @@ def _make_op(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
         d_nf = d_nf + d_nf_tiles.reshape(N, HD)
         d_a = jnp.concatenate([d_a_dst, d_a_ea, d_a_src], axis=-1)
         return (d_nf.reshape(N, H, D).astype(nf.dtype), d_ea, None, None,
-                jnp.zeros_like(emask), d_a.astype(a.dtype), None, None, None)
+                jnp.zeros_like(emask), d_a.astype(a.dtype), None, None, None,
+                None)
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -564,7 +588,7 @@ def pallas_gat_pass(
                   str(node_feats_h.dtype), bool(interpret))
     out, m, den = op(node_feats_h, edge_attr, src, dst, edge_mask, attn_vec,
                      jnp.asarray(meta.ew_blk), jnp.asarray(meta.sw_tile),
-                     jnp.asarray(meta.flat_slot))
+                     jnp.asarray(meta.flat_slot), jnp.asarray(meta.cw))
 
     # ---- attention epilogue (gat2.py:165-167 semantics) -------------------
     f32 = jnp.float32
@@ -647,7 +671,7 @@ def _make_ep_op(N, Es, H, D, Da, tn, te, k, n_chunks, Tg, slope, dt_name,
         w_ea = ea.astype(f32) @ a_ea.T
         return wn, w_ea, a_dst, a_ea, a_src
 
-    def local_stats(nf, ea, src, dst, emask, a, t0, ew, sw):
+    def local_stats(nf, ea, src, dst, emask, a, t0, ew, sw, cw):
         sg = jax.lax.stop_gradient
         nf, ea, a = sg(nf), sg(ea), sg(a)
         wn, w_ea, *_ = prologue(nf, ea, a)
@@ -656,10 +680,11 @@ def _make_ep_op(N, Es, H, D, Da, tn, te, k, n_chunks, Tg, slope, dt_name,
         dst2 = dst.reshape(Es, 1).astype(jnp.int32)
         em2 = emask.reshape(Es, 1).astype(f32)
         args = [wn] * (k + 1) + [nf_flat] * (k + 1) + [w_ea, src2, dst2, em2]
-        return fwd_call(t0, ew, sw, *args)      # out_l, m_l, den_l (Ng, ·)
+        return fwd_call(t0, ew, sw, cw, *args)  # out_l, m_l, den_l (Ng, ·)
 
     @jax.custom_vjp
-    def local_unnorm(nf, ea, src, dst, emask, a, Mg, stats, t0, ew, sw, flat):
+    def local_unnorm(nf, ea, src, dst, emask, a, Mg, stats, t0, ew, sw,
+                     flat, cw):
         out_l, m_l, den_l = stats
         r0 = t0[0] * tn
         m_sl = jax.lax.dynamic_slice(Mg, (r0, 0), (Ng, H))
@@ -668,14 +693,15 @@ def _make_ep_op(N, Es, H, D, Da, tn, te, k, n_chunks, Tg, slope, dt_name,
         U = out_l * _hrep_xla(V, D)
         return U, V
 
-    def _unnorm_fwd(nf, ea, src, dst, emask, a, Mg, stats, t0, ew, sw, flat):
+    def _unnorm_fwd(nf, ea, src, dst, emask, a, Mg, stats, t0, ew, sw,
+                    flat, cw):
         U, V = local_unnorm(nf, ea, src, dst, emask, a, Mg, stats,
-                            t0, ew, sw, flat)
-        return (U, V), (nf, ea, src, dst, emask, a, Mg, t0, ew, sw, flat)
+                            t0, ew, sw, flat, cw)
+        return (U, V), (nf, ea, src, dst, emask, a, Mg, t0, ew, sw, flat, cw)
 
     def _unnorm_bwd(res, gs):
         dU, dV = gs
-        nf, ea, src, dst, emask, a, Mg, t0, ew, sw, flat = res
+        nf, ea, src, dst, emask, a, Mg, t0, ew, sw, flat, cw = res
         wn, w_ea, a_dst, a_ea, a_src = prologue(nf, ea, a)
         nf32 = nf.astype(f32)
         nf_flat = nf.reshape(N, HD)
@@ -691,7 +717,7 @@ def _make_ep_op(N, Es, H, D, Da, tn, te, k, n_chunks, Tg, slope, dt_name,
                 + [w_ea, src2, dst2, em2, m_sl, ones,
                    dU.astype(f32), -dV.astype(f32), a_src_pad])
         d_wdst, _dws, _dnd, d_z_tiled, d_nfwin, d_asrc_pad = bwd_call(
-            t0, ew, sw, *args)
+            t0, ew, sw, cw, *args)
 
         d_z = d_z_tiled.reshape(-1, H)[flat] * em2        # (Es, H)
         d_ea = (d_z @ a_ea).astype(ea.dtype)
@@ -710,7 +736,7 @@ def _make_ep_op(N, Es, H, D, Da, tn, te, k, n_chunks, Tg, slope, dt_name,
                       jnp.zeros((Ng, H), f32))
         return (d_nf.reshape(N, H, D).astype(nf.dtype), d_ea, None, None,
                 jnp.zeros_like(emask), d_a.astype(a.dtype),
-                jnp.zeros_like(Mg), zero_stats, None, None, None, None)
+                jnp.zeros_like(Mg), zero_stats, None, None, None, None, None)
 
     local_unnorm.defvjp(_unnorm_fwd, _unnorm_bwd)
     return local_stats, local_unnorm, prologue
@@ -746,6 +772,7 @@ def pallas_gat_pass_ep(
     ew = meta.ew_blk.reshape(-1)
     sw = meta.sw_tile.reshape(-1)
     flat = meta.flat_slot.reshape(-1)
+    cw = meta.cw.reshape(-1)
     tn = meta.tn
     Tg = meta.n_tiles_grid
     local_stats, local_unnorm, _ = _make_ep_op(
@@ -754,7 +781,7 @@ def pallas_gat_pass_ep(
 
     # 1. local softmax stats (stop-grad: values only)
     stats = local_stats(node_feats_h, edge_attr, src, dst, edge_mask,
-                        attn_vec, t0, ew, sw)
+                        attn_vec, t0, ew, sw, cw)
     _out_l, m_l, _den_l = stats
     r0 = t0[0] * tn
 
@@ -775,7 +802,7 @@ def pallas_gat_pass_ep(
 
     # 3. this shard's un-normalized sums (custom-VJP boundary — local only)
     U_l, V_l = local_unnorm(node_feats_h, edge_attr, src, dst, edge_mask,
-                            attn_vec, Mg, stats, t0, ew, sw, flat)
+                            attn_vec, Mg, stats, t0, ew, sw, flat, cw)
 
     # 4. transparent-XLA combine: embed, psum, self-loop term, divide
     U = jax.lax.dynamic_update_slice(jnp.zeros((N, HD), f32), U_l, (r0, 0))

@@ -36,10 +36,28 @@ class TileMeta:
     ew_blk: np.ndarray     # (n_tiles,) i32 — edge-window start, Te-block units
     sw_tile: np.ndarray    # (n_tiles,) i32 — src-window start, Tn-tile units
     flat_slot: np.ndarray  # (E,) i32 — edge → tiled-space slot (pad edges → 0)
+    cw: np.ndarray         # (n_tiles,) i32 — REAL Te-chunks per tile (≥1);
+    #                        chunks c ≥ cw[t] hold no edges of tile t, so the
+    #                        kernel skips their compute and clamps their block
+    #                        index (no refetch) — n_chunks is only the static
+    #                        grid bound
     tn: int = struct.field(pytree_node=False)        # node tile size
     te: int = struct.field(pytree_node=False)        # edge chunk size
     n_chunks: int = struct.field(pytree_node=False)  # Te-blocks per window
     k_src: int = struct.field(pytree_node=False)     # Tn-tiles per src window
+
+
+def _chunk_widths(ew_blk, dst, keep, tn, te, n_tiles):
+    """Per-tile REAL chunk counts: 1 + max chunk offset over the tile's kept
+    edges (min 1, so chunk 0 — the flat_slot sink for pad edges — is always
+    computed). Uniform post-pass for both the native and Python builders."""
+    cw = np.ones((n_tiles,), np.int64)
+    if keep.any():
+        eids = np.arange(len(dst), dtype=np.int64)
+        t_all = (dst // tn)[keep]
+        off_blk = (eids[keep] - ew_blk[t_all] * te) // te
+        np.maximum.at(cw, t_all, off_blk + 1)
+    return cw
 
 
 def build_tile_meta(
@@ -78,7 +96,10 @@ def build_tile_meta(
         return None
     if nat is not None:
         ew, sw, flat, nc, kk = nat
+        cw = _chunk_widths(np.asarray(ew, np.int64), dst, keep, tn, te,
+                           n_tiles)
         return TileMeta(ew_blk=ew, sw_tile=sw, flat_slot=flat,
+                        cw=cw.astype(np.int32),
                         tn=tn, te=te, n_chunks=int(nc), k_src=int(kk))
 
     tile_of = dst // tn
@@ -135,10 +156,12 @@ def build_tile_meta(
     flat = t_all * (n_chunks * te) + (eids - ew_blk[t_all] * te)
     flat = np.where(keep, flat, 0)
 
+    cw = _chunk_widths(ew_blk, dst, keep, tn, te, n_tiles)
     return TileMeta(
         ew_blk=ew_blk.astype(np.int32),
         sw_tile=sw_tile.astype(np.int32),
         flat_slot=flat.astype(np.int32),
+        cw=cw.astype(np.int32),
         tn=tn, te=te, n_chunks=int(n_chunks), k_src=int(k_src),
     )
 
@@ -164,6 +187,7 @@ class EPTileMeta:
     ew_blk: np.ndarray     # (S, Tg) i32 — edge-window starts, LOCAL Te-blocks
     sw_tile: np.ndarray    # (S, Tg) i32 — src-window starts, GLOBAL Tn-tiles
     flat_slot: np.ndarray  # (S, Es) i32 — local edge → local tiled slot
+    cw: np.ndarray         # (S, Tg) i32 — real Te-chunks per grid tile (≥1)
     tn: int = struct.field(pytree_node=False)
     te: int = struct.field(pytree_node=False)
     n_chunks: int = struct.field(pytree_node=False)
@@ -253,6 +277,7 @@ def build_ep_tile_meta(
     sw = np.minimum(sw, n_tiles - k_src)
 
     flat = np.zeros((n_shards, Es), np.int64)
+    cw = np.ones((n_shards, Tg), np.int64)
     for s, (src_l, keep, tile_of, *_rest) in enumerate(shards):
         t_loc = np.where(keep, tile_of - t0s[s], 0)
         t_cl = np.clip(t_loc, 0, Tg - 1)
@@ -265,6 +290,8 @@ def build_ep_tile_meta(
             s_lo = sw[s][t_cl] * tn
             if (keep & ((src_l < s_lo) | (src_l >= s_lo + k_src * tn))).any():
                 return None
+            np.maximum.at(cw[s], t_loc[keep],
+                          (eids[keep] - ew[s][t_loc[keep]] * te) // te + 1)
         f = t_loc * (n_chunks * te) + (eids - ew[s][t_cl] * te)
         flat[s] = np.where(keep, f, 0)
 
@@ -273,6 +300,7 @@ def build_ep_tile_meta(
         ew_blk=ew.astype(np.int32),
         sw_tile=sw.astype(np.int32),
         flat_slot=flat.astype(np.int32),
+        cw=cw.astype(np.int32),
         tn=tn, te=te, n_chunks=int(n_chunks), k_src=int(k_src),
         n_tiles_grid=int(Tg),
     )

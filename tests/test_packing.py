@@ -37,7 +37,7 @@ class TestRoundtrip:
                     assert u is None, f.name
                     continue
                 if f.name.startswith("tm_"):
-                    for part in ("ew_blk", "sw_tile", "flat_slot"):
+                    for part in ("ew_blk", "sw_tile", "flat_slot", "cw"):
                         np.testing.assert_array_equal(
                             np.asarray(getattr(u, part)),
                             np.asarray(getattr(a, part)),
