@@ -117,6 +117,7 @@ def main() -> None:
     # the fused kernel must match the XLA segment path on device — the CPU
     # parity tests run interpret=True and would miss a Mosaic miscompile.
     mosaic_check = None
+    cw_hetero = None
     if use_pallas and device_batches[0].tm_atom is not None \
             and os.environ.get("BENCH_MOSAIC_CHECK", "1") == "1" \
             and within_budget():
@@ -145,6 +146,18 @@ def main() -> None:
         np.testing.assert_allclose(
             out_pl, out_xla, atol=1e-3, rtol=1e-3,
             err_msg="Mosaic kernel diverges from the XLA path ON DEVICE")
+        # record that the dead-chunk skip path (cw[t] < n_chunks) was
+        # actually exercised on device by this gate batch (ADVICE r3)
+        cw_hetero = {}
+        for lvl, tm in (("atom", b0.tm_atom), ("bond", b0.tm_bond),
+                        ("frag", b0.tm_frag), ("fc", b0.tm_fc)):
+            if tm is not None:
+                cw = np.asarray(tm.cw)
+                cw_hetero[lvl] = {
+                    "n_chunks": int(tm.n_chunks),
+                    "cw_min": int(cw.min()), "cw_max": int(cw.max()),
+                    "tiles_skipping": int((cw < tm.n_chunks).sum()),
+                }
 
     # --- device-resident steady state (primary) ------------------------
     # NOTE: no host-side rng work inside the loop — the step folds its own
@@ -256,6 +269,8 @@ def main() -> None:
     }
     if mosaic_check is not None:
         out["mosaic_vs_xla_maxdiff"] = mosaic_check
+    if cw_hetero:
+        out["cw_hetero"] = cw_hetero
     if sweep:
         out["sweep_edges_per_sec"] = sweep
     if roofline:

@@ -151,7 +151,9 @@ class GraphBuilder:
         feature_creator: Optional[FeaturesEXP] = None,
         compat_reference_targets: bool = False,
     ):
-        self.features = feature_creator or FeaturesEXP()
+        from fragnet_tpu.chem.features import feature_creator_for
+
+        self.features = feature_creator or feature_creator_for(data_type)
         self.one_s = "1s" in data_type
         self.add_dhangles = add_dhangles
         # replicate the reference's no-axis .sum() collapse in the bond-angle

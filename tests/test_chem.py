@@ -195,3 +195,80 @@ class TestGeometry:
         mol, conf = engine.mol_3d("CCC")
         ang = conf.angle_rad(0, 1, 2)
         assert 1.6 < ang < 2.2  # ~109.5° = 1.91 rad
+
+
+class TestLegacyFeatures0:
+    """Legacy 13-symbol featurizer (data types exp0/exp01s) — reference
+    fragnet/dataset/features0.py dims and dispatch (data.py:333-337)."""
+
+    def test_dims(self):
+        from fragnet_tpu.chem.features import ATOM_FDIM0, BOND_FDIM0
+        from fragnet_tpu.graphs.build import GraphBuilder
+
+        mol, conf = engine.mol_3d("CCO")
+        g = GraphBuilder("exp01s").build(mol, conf, [1.0], smiles="CCO")
+        assert g.x_atoms.shape[1] == ATOM_FDIM0 == 38
+        assert g.edge_attr.shape[1] == BOND_FDIM0 == 11
+
+    def test_symbol_onehot_and_counts(self):
+        from fragnet_tpu.chem.features import FeaturesEXP0
+
+        mol, _ = engine.mol_3d("CCO")
+        f = FeaturesEXP0()
+        assert f.use_bond_chirality is False
+        heavy = [a for a in mol.GetAtoms() if a.GetAtomicNum() > 1]
+        v = f.atom_features_one_hot(heavy[0])  # carbon
+        assert v[1] == 1 and v[:13].sum() == 1  # "C" slot
+        vo = f.atom_features_one_hot(heavy[2])  # oxygen
+        assert vo[9] == 1  # "O" slot
+        # charge/radical are raw counts, not one-hots (features0.py:66-67)
+        assert v[27] == 0 and v[28] == 0
+
+    def test_unknown_symbol_maps_last(self):
+        from fragnet_tpu.chem.features import FeaturesEXP0
+
+        mol, _ = engine.mol_3d("CC[Si](C)(C)C" if False else "CCO")
+        f = FeaturesEXP0()
+
+        class FakeAtom:
+            def GetAtomicNum(self): return 14  # Si — not in the 13-list
+            def GetDegree(self): return 4
+            def GetImplicitValence(self): return 0
+            def GetFormalCharge(self): return 0
+            def GetNumRadicalElectrons(self): return 0
+            def GetHybridization(self): return "SP3"
+            def GetIsAromatic(self): return False
+            def IsInRing(self): return False
+            def GetTotalNumHs(self): return 0
+
+        v = f.atom_features_one_hot(FakeAtom())
+        assert v[12] == 1  # "Unknown"
+
+    def test_dispatch(self):
+        from fragnet_tpu.chem.features import (FeaturesEXP, FeaturesEXP0,
+                                               feature_creator_for)
+
+        assert isinstance(feature_creator_for("exp0"), FeaturesEXP0)
+        assert isinstance(feature_creator_for("exp01s"), FeaturesEXP0)
+        assert isinstance(feature_creator_for("exp1s"), FeaturesEXP)
+
+    def test_end_to_end_model(self):
+        """An exp01s graph must run through the model (dims are configurable)."""
+        import jax
+        import jax.numpy as jnp
+
+        from fragnet_tpu.graphs.build import GraphBuilder
+        from fragnet_tpu.graphs.hiergraph import pad_batch, spec_for
+        from fragnet_tpu.model.finetune import FragNetFineTune
+
+        mol, conf = engine.mol_3d("CCO")
+        g = GraphBuilder("exp01s").build(mol, conf, [1.0], smiles="CCO")
+        spec = spec_for([g], batch_size=1)
+        batch = jax.tree.map(
+            lambda x: jnp.asarray(x) if x is not None else None,
+            pad_batch([g], spec))
+        model = FragNetFineTune(num_layer=1, num_heads=2, emb_dim=16,
+                                h1=8, h2=8, h3=8, h4=8)
+        params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+        out = model.apply(params, batch, deterministic=True)
+        assert out.shape[-1] == 1
