@@ -82,6 +82,10 @@ class HierGraphBatch:
     tm_bond: Optional[object] = None
     tm_frag: Optional[object] = None
     tm_fc: Optional[object] = None
+    # optional dense per-tile planes (ops/dense_gat.py) for the zero-gather
+    # bond/fconn passes — present only for tile-aligned batches
+    dp_bond: Optional[np.ndarray] = None  # (E//tn, 2*tn, tn) f32
+    dp_fc: Optional[np.ndarray] = None    # (C//tn, 7*tn, tn) f32
 
     @property
     def n_graphs(self) -> int:
@@ -134,6 +138,11 @@ class PadSpec:
     tc_bond: Optional[tuple] = None
     tc_frag: Optional[tuple] = None
     tc_fc: Optional[tuple] = None
+    # tile-aligned packing: pad each node axis (atoms / bond-nodes / frags /
+    # fconn-nodes) so no molecule straddles a tn-node tile. This shrinks the
+    # TCSR source windows to k_src=1 AND enables the dense zero-gather
+    # bond/fconn kernels (ops/dense_gat.py). Costs ~8-20% more node slots.
+    align: bool = False
 
     @property
     def tcsr(self) -> bool:
@@ -152,6 +161,32 @@ class PadSpec:
         )
 
 
+def _aligned_starts(counts, tn: int) -> np.ndarray:
+    """Per-molecule start offsets with tile alignment: a molecule that would
+    straddle a tn boundary starts at the next tile (molecules larger than tn
+    stay contiguous — the dense path is disabled for them downstream).
+    Returns (n+1,) offsets; [-1] is the aligned total."""
+    n = len(counts)
+    offs = np.zeros((n + 1,), np.int64)
+    pos = 0
+    for i, cnt in enumerate(counts):
+        cnt = int(cnt)
+        if cnt <= tn and (pos % tn) + cnt > tn:
+            pos = ((pos + tn - 1) // tn) * tn
+        offs[i] = pos
+        pos += cnt
+    offs[n] = pos
+    return offs
+
+
+def _level_counts(graphs):
+    """(4, n) per-molecule counts for the four aligned node axes."""
+    return [np.fromiter((g.n_atoms for g in graphs), np.int64, len(graphs)),
+            np.fromiter((g.n_edges for g in graphs), np.int64, len(graphs)),
+            np.fromiter((g.n_frags for g in graphs), np.int64, len(graphs)),
+            np.fromiter((g.n_fconn for g in graphs), np.int64, len(graphs))]
+
+
 def _max_indeg(dst_rows, n_nodes: int) -> int:
     if len(dst_rows) == 0:
         return 0
@@ -161,7 +196,8 @@ def _max_indeg(dst_rows, n_nodes: int) -> int:
 
 def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
              multiple: int = 8, ell: bool = False,
-             tcsr: bool = False, tn: int = 128, te: int = 256) -> PadSpec:
+             tcsr: bool = False, tn: int = 128, te: int = 256,
+             align: Optional[bool] = None) -> PadSpec:
     """Compute a PadSpec covering any window of ``batch_size`` graphs from the
     dataset: batch_size × the max per-molecule counts is always safe but
     wasteful; we use max over a sliding sum bound = batch_size * p95 + max,
@@ -198,17 +234,33 @@ def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
         )
         ks = {k: max(v, 1) for k, v in ks.items()}
 
+    if align is None:
+        align = tcsr  # aligned packing is the TCSR/dense fast path default
+
+    caps = {k: cap(v) for k, v in stats.items()}
+    if align:
+        # alignment inflates the node axes; measure the waste on probe
+        # windows of batch_size molecules and bump the caps to cover it
+        names = ("n_atoms", "n_edges", "n_frags", "n_fconn")
+        probes = range(0, max(1, len(graphs) - batch_size + 1),
+                       max(1, (len(graphs) - batch_size) // 8 or 1))
+        for lo in list(probes)[:9]:
+            win = graphs[lo:lo + batch_size]
+            for name, counts in zip(names, _level_counts(win)):
+                tot = int(_aligned_starts(counts, tn)[-1] * slack)
+                caps[name] = max(caps[name], tot)
+
     spec = PadSpec(
         n_graphs=batch_size,
-        n_atoms=cap(stats["n_atoms"]),
-        n_edges=cap(stats["n_edges"]),
-        n_frags=cap(stats["n_frags"]),
-        n_fconn=cap(stats["n_fconn"]),
-        n_bg_edges=cap(stats["n_bg_edges"]),
-        n_fc_edges=cap(stats["n_fc_edges"]),
-        tn=tn, te=te,
+        n_atoms=caps["n_atoms"],
+        n_edges=caps["n_edges"],
+        n_frags=caps["n_frags"],
+        n_fconn=caps["n_fconn"],
+        n_bg_edges=caps["n_bg_edges"],
+        n_fc_edges=caps["n_fc_edges"],
+        tn=tn, te=te, align=align,
         **ks,
-    ).round_to(max(multiple, tn, te) if tcsr else multiple)
+    ).round_to(max(multiple, tn, te) if (tcsr or align) else multiple)
     if not tcsr:
         return spec
     return _pin_tcsr(spec, graphs, batch_size)
@@ -261,15 +313,19 @@ def _pin_tcsr(spec: PadSpec, graphs: Sequence, batch_size: int,
 
 
 def fits(graphs: Sequence, spec: PadSpec) -> bool:
-    return (
-        len(graphs) <= spec.n_graphs
-        and sum(g.n_atoms for g in graphs) <= spec.n_atoms
-        and sum(g.n_edges for g in graphs) <= spec.n_edges
-        and sum(g.n_frags for g in graphs) <= spec.n_frags
-        and sum(g.n_fconn for g in graphs) <= spec.n_fconn
-        and sum(g.n_bg_edges for g in graphs) <= spec.n_bg_edges
-        and sum(g.n_fc_edges for g in graphs) <= spec.n_fc_edges
-    )
+    if len(graphs) > spec.n_graphs \
+            or sum(g.n_bg_edges for g in graphs) > spec.n_bg_edges \
+            or sum(g.n_fc_edges for g in graphs) > spec.n_fc_edges:
+        return False
+    caps = (spec.n_atoms, spec.n_edges, spec.n_frags, spec.n_fconn)
+    if not spec.align:
+        tots = (sum(g.n_atoms for g in graphs),
+                sum(g.n_edges for g in graphs),
+                sum(g.n_frags for g in graphs),
+                sum(g.n_fconn for g in graphs))
+        return all(t <= c for t, c in zip(tots, caps))
+    return all(int(_aligned_starts(counts, spec.tn)[-1]) <= c
+               for counts, c in zip(_level_counts(graphs), caps))
 
 
 def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
@@ -335,26 +391,51 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
     nc = np.fromiter((g.n_fconn for g in graphs), np.int64, n)
     neb = np.fromiter((g.n_bg_edges for g in graphs), np.int64, n)
     nec = np.fromiter((g.n_fc_edges for g in graphs), np.int64, n)
-    a_off = np.concatenate([[0], np.cumsum(na)])
-    e_off = np.concatenate([[0], np.cumsum(ne)])
-    f_off = np.concatenate([[0], np.cumsum(nf)])
-    c_off = np.concatenate([[0], np.cumsum(nc)])
+    if spec.align:
+        # tile-aligned packing: no molecule straddles a tn-node tile on any
+        # node axis (atoms / bond-nodes / frags / fconn-nodes); the gaps are
+        # ordinary masked pad slots mid-array
+        a_off = _aligned_starts(na, spec.tn)
+        e_off = _aligned_starts(ne, spec.tn)
+        f_off = _aligned_starts(nf, spec.tn)
+        c_off = _aligned_starts(nc, spec.tn)
+    else:
+        a_off = np.concatenate([[0], np.cumsum(na)])
+        e_off = np.concatenate([[0], np.cumsum(ne)])
+        f_off = np.concatenate([[0], np.cumsum(nf)])
+        c_off = np.concatenate([[0], np.cumsum(nc)])
     Ta, Te, Tf = int(a_off[-1]), int(e_off[-1]), int(f_off[-1])
     Tc, Teb, Tec = int(c_off[-1]), int(neb.sum()), int(nec.sum())
+
+    def _ranges(starts, counts):
+        """Destination indices: contiguous slice when packing has no gaps,
+        else the concatenation of each molecule's [start, start+count)."""
+        tot = int(counts.sum())
+        if int(starts[-1]) == tot:
+            return slice(0, tot)
+        rep = np.repeat(starts[:-1], counts)
+        base = np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])),
+                         counts)
+        return rep + np.arange(tot) - base
+
+    dest_a = _ranges(a_off, na)
+    dest_e = _ranges(e_off, ne)
+    dest_f = _ranges(f_off, nf)
+    dest_c = _ranges(c_off, nc)
 
     def cat(field):
         return np.concatenate([getattr(g, field) for g in graphs])
 
-    x_atoms[:Ta] = cat("x_atoms")
+    x_atoms[dest_a] = cat("x_atoms")
     ei = np.concatenate([g.edge_index for g in graphs], axis=1)
     rep_ae = np.repeat(a_off[:-1], ne)  # per-edge atom offset
-    edge_src[:Te] = ei[0] + rep_ae
-    edge_dst[:Te] = ei[1] + rep_ae
-    edge_attr[:Te] = cat("edge_attr")
-    atom_mask[:Ta] = 1.0
-    edge_mask[:Te] = 1.0
+    edge_src[dest_e] = ei[0] + rep_ae
+    edge_dst[dest_e] = ei[1] + rep_ae
+    edge_attr[dest_e] = cat("edge_attr")
+    atom_mask[dest_a] = 1.0
+    edge_mask[dest_e] = 1.0
 
-    nf_bonds[:Te] = cat("nf_bonds")
+    nf_bonds[dest_e] = cat("nf_bonds")
     # reference unpacks `target, source = edge_index_bonds_graph`
     # (gat2.py:138): row 0 is the aggregation target → our *_dst.
     eib = np.concatenate([g.ei_bonds for g in graphs], axis=1)
@@ -364,17 +445,17 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
     ea_bonds[:Teb] = cat("ea_bonds")
     bg_mask[:Teb] = 1.0
 
-    x_frags[:Tf] = cat("x_frags")
+    x_frags[dest_f] = cat("x_frags")
     # `source, target = frag_index` (gat2.py:283): row 0 is the source.
     fi = np.concatenate([g.frag_index for g in graphs], axis=1)
     rep_fc = np.repeat(f_off[:-1], nc)
-    frag_src[:Tc] = fi[0] + rep_fc
-    frag_dst[:Tc] = fi[1] + rep_fc
-    cnx_attr[:Tc] = cat("cnx_attr")
-    frag_mask[:Tf] = 1.0
-    fconn_mask[:Tc] = 1.0
+    frag_src[dest_c] = fi[0] + rep_fc
+    frag_dst[dest_c] = fi[1] + rep_fc
+    cnx_attr[dest_c] = cat("cnx_attr")
+    frag_mask[dest_f] = 1.0
+    fconn_mask[dest_c] = 1.0
 
-    nf_fbonds[:Tc] = cat("nf_fbonds")
+    nf_fbonds[dest_c] = cat("nf_fbonds")
     # `target, source = edge_index_fbond_graph` (gat2.py:239).
     eif = np.concatenate([g.ei_fbonds for g in graphs], axis=1)
     rep_cf = np.repeat(c_off[:-1], nec)
@@ -383,9 +464,9 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
     ea_fbonds[:Tec] = cat("ea_fbonds")
     fc_mask[:Tec] = 1.0
 
-    atom_to_frag[:Ta] = cat("atom_to_frag") + np.repeat(f_off[:-1], na)
-    atom_batch[:Ta] = np.repeat(np.arange(n, dtype=np.int32), na)
-    frag_batch[:Tf] = np.repeat(np.arange(n, dtype=np.int32), nf)
+    atom_to_frag[dest_a] = cat("atom_to_frag") + np.repeat(f_off[:-1], na)
+    atom_batch[dest_a] = np.repeat(np.arange(n, dtype=np.int32), na)
+    frag_batch[dest_f] = np.repeat(np.arange(n, dtype=np.int32), nf)
 
     for gi, g in enumerate(graphs):
         yv = g.y.reshape(-1)
@@ -393,9 +474,9 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
     graph_mask[:n] = 1.0
 
     if with_targets and all(g.bnd_lngth is not None for g in graphs):
-        bnd_lngth[:Te] = cat("bnd_lngth")
-        dh_angl[:Te] = cat("dh_angl")
-        bnd_angl[:Ta] = cat("bnd_angl")
+        bnd_lngth[dest_e] = cat("bnd_lngth")
+        dh_angl[dest_e] = cat("dh_angl")
+        bnd_angl[dest_a] = cat("bnd_angl")
     elif with_targets:
         for gi, g in enumerate(graphs):  # mixed availability (rare)
             if g.bnd_lngth is not None:
@@ -426,6 +507,18 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
             n_chunks=spec.tc_fc[0], k_src=spec.tc_fc[1])
         if any(v is None for v in tcsr_kw.values()):
             tcsr_kw = {}  # batch exceeds pinned windows — XLA fallback
+
+    dense_kw = {}
+    if spec.align and spec.tcsr:
+        from fragnet_tpu.ops.dense_gat import build_dense_planes
+
+        # zero-gather dense planes for the rank-structured levels; None when
+        # a molecule exceeds tn nodes at that level (the layer then falls
+        # back to the TCSR kernel for it)
+        dense_kw["dp_bond"] = build_dense_planes(
+            bg_src, bg_dst, bg_mask, ea_bonds, E, tn=spec.tn)
+        dense_kw["dp_fc"] = build_dense_planes(
+            fc_src, fc_dst, fc_mask, ea_fbonds, C, tn=spec.tn)
 
     ell_kw = {}
     if spec.k_atom is not None:
@@ -461,4 +554,5 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
         frag_batch=frag_batch, y=y, graph_mask=graph_mask,
         bnd_lngth=bnd_lngth, bnd_angl=bnd_angl, dh_angl=dh_angl,
         protein=protein, gene_expr=gene_expr, **ell_kw, **tcsr_kw,
+        **dense_kw,
     )

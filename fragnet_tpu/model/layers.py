@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
+from fragnet_tpu.ops.dense_gat import dense_gat_pass
 from fragnet_tpu.ops.ell import ell_gat_pass
 from fragnet_tpu.ops.pallas_gat import pallas_gat_pass, pallas_gat_pass_ep
 from fragnet_tpu.ops.tcsr import EPTileMeta, TileMeta
@@ -128,13 +129,30 @@ class FragNetLayer(nn.Module):
         C = nf_fbonds.shape[0]
 
         # ---- pass 1: bond-graph GAT (gat2.py:137-169) --------------------
-        ea_b = nn.Dense(edge_out_ph, kernel_init=torch_linear_init, dtype=dt,
-                        name="edge_attr_bond_embed")(batch.ea_bonds.astype(dt))      # (EB, Dp)
+        emb_b = nn.Dense(edge_out_ph, kernel_init=torch_linear_init, dtype=dt,
+                         name="edge_attr_bond_embed")
+        ea_b = emb_b(batch.ea_bonds.astype(dt))      # (EB, Dp)
         nf_b = nn.Dense(edge_out_ph * H, kernel_init=xavier_gain, dtype=dt,
                         name="projection_b")(nf_bonds)
         nf_b = nf_b.reshape(E, H, edge_out_ph)
         a_b = self.param("a_b", xavier_gain, (H, 3 * edge_out_ph))
-        if self.ep_axis is not None and isinstance(batch.tm_bond, EPTileMeta):
+        if self.ep_axis is None and batch.dp_bond is not None:
+            # dense zero-gather kernel (ops/dense_gat.py): the raw bond-graph
+            # edge attr is the 1-dim cos-angle, so the embed Dense + a_ea
+            # fold to (v, c) — basis-applied through the SAME module so
+            # autodiff reaches its params
+            Rb = batch.ea_bonds.shape[1]
+            bias_row = emb_b(jnp.zeros((1, Rb), dt))
+            Wt = emb_b(jnp.eye(Rb, dtype=dt)) - bias_row           # (Rb, Dp)
+            a_ea = a_b[:, edge_out_ph:2 * edge_out_ph]
+            v = Wt.astype(jnp.float32) @ a_ea.T.astype(jnp.float32)
+            c = (bias_row.astype(jnp.float32)
+                 @ a_ea.T.astype(jnp.float32)).reshape(H)
+            bond_out, attn_bonds = dense_gat_pass(
+                nf_b, batch.dp_bond, v, c, ea_b,
+                batch.bg_src, batch.bg_dst, batch.bg_mask, a_b,
+            )
+        elif self.ep_axis is not None and isinstance(batch.tm_bond, EPTileMeta):
             # fused TCSR kernel on this shard's edge range + mesh combine
             bond_out, attn_bonds = pallas_gat_pass_ep(
                 nf_b, ea_b, batch.bg_src, batch.bg_dst, batch.bg_mask,
@@ -252,13 +270,28 @@ class FragNetLayer(nn.Module):
         x_frags = segment_sum(x_atoms_new, batch.atom_to_frag, F)
 
         # ---- pass 4: fconn-graph GAT (gat2.py:238-278) --------------------
-        ea_fb = nn.Dense(edge_out_ph, kernel_init=torch_linear_init, dtype=dt,
-                         name="edge_attr_fbond_embed")(batch.ea_fbonds.astype(dt))
+        emb_fb = nn.Dense(edge_out_ph, kernel_init=torch_linear_init,
+                          dtype=dt, name="edge_attr_fbond_embed")
+        ea_fb = emb_fb(batch.ea_fbonds.astype(dt))
         nf_fb = nn.Dense(edge_out_ph * H, kernel_init=torch_linear_init, dtype=dt,
                          name="projection_fb")(nf_fbonds)
         nf_fb = nf_fb.reshape(C, H, edge_out_ph)
         f_a_b = self.param("f_a_b", xavier_gain, (H, 3 * edge_out_ph))
-        if self.ep_axis is not None and isinstance(batch.tm_fc, EPTileMeta):
+        if self.ep_axis is None and batch.dp_fc is not None:
+            # dense zero-gather kernel: raw fconn attrs are the 6-dim
+            # connection one-hot sums → rank-6 (v, c) fold
+            Rf = batch.ea_fbonds.shape[1]
+            bias_row = emb_fb(jnp.zeros((1, Rf), dt))
+            Wt = emb_fb(jnp.eye(Rf, dtype=dt)) - bias_row
+            a_ea = f_a_b[:, edge_out_ph:2 * edge_out_ph]
+            v = Wt.astype(jnp.float32) @ a_ea.T.astype(jnp.float32)
+            c = (bias_row.astype(jnp.float32)
+                 @ a_ea.T.astype(jnp.float32)).reshape(H)
+            fbond_out, attn_fbonds = dense_gat_pass(
+                nf_fb, batch.dp_fc, v, c, ea_fb,
+                batch.fc_src, batch.fc_dst, batch.fc_mask, f_a_b,
+            )
+        elif self.ep_axis is not None and isinstance(batch.tm_fc, EPTileMeta):
             fbond_out, attn_fbonds = pallas_gat_pass_ep(
                 nf_fb, ea_fb, batch.fc_src, batch.fc_dst, batch.fc_mask,
                 f_a_b, batch.tm_fc, axis=self.ep_axis,
