@@ -1,14 +1,20 @@
-# Developer entry points. `make check` is the ship gate: the FULL test
-# suite must be green before an end-of-round snapshot (a red flagship test
-# shipped once; never again).
+# Developer entry points. `make check` is the fast dev gate (<8 min: the
+# suite minus the slow-marked multi-minute files); `make check-full` is the
+# SHIP gate: the FULL suite must be green before an end-of-round snapshot
+# (a red flagship test shipped once; never again).
 
 PY ?= python
 
-.PHONY: check test smoke bench dryrun
+.PHONY: check check-full test test-full smoke bench dryrun
 
 check: test smoke
 
+check-full: test-full smoke
+
 test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-full:
 	$(PY) -m pytest tests/ -q
 
 smoke:

@@ -159,7 +159,13 @@ def build_layout(template: HierGraphBatch, compute_dtype=jnp.float32,
     flat_slot). The tunnel compresses low-entropy buffers, so minimizing
     pack/unpack CPU beats minimizing bytes. ``compact=True`` adds the
     bit/run/local encodings (~4x smaller buffer) for genuinely
-    bandwidth-bound links."""
+    bandwidth-bound links.
+
+    The dense planes (``dp_bond``/``dp_fc``, ops/dense_gat.py) are
+    deliberately NOT transported: they are redundant with the edge lists
+    (~13 MB/batch of mostly zeros) and the pipelined path is host-bound —
+    decoded batches run the TCSR kernel (k_src=1 under aligned packing)
+    instead of the dense one."""
     if template.atom_nbr_edge is not None:
         raise ValueError("packed transport does not support the ELL path")
     if template.x_atoms.shape[1] > 256:

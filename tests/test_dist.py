@@ -16,6 +16,9 @@ from fragnet_tpu.model.finetune import FragNetFineTune
 from fragnet_tpu.train.loop import TrainState, make_train_step
 from fragnet_tpu.train.optim import make_optimizer
 
+# multi-minute file: excluded from the fast tier (make check); run via make check-full
+pytestmark = pytest.mark.slow
+
 
 def _to_jnp(b):
     return jax.tree.map(lambda x: jnp.asarray(x) if x is not None else None, b)

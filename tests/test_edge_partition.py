@@ -14,9 +14,13 @@ from fragnet_tpu.dist.edge_partition import (
 )
 from fragnet_tpu.ops.segment import gat_attention_pass, segment_sum
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 2, reason="needs a multi-device mesh"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 2, reason="needs a multi-device mesh"
+    ),
+    # multi-minute file (~11 min): excluded from the fast tier (make check)
+    pytest.mark.slow,
+]
 
 
 def test_gat_pass_matches_single_device():

@@ -44,6 +44,9 @@ from fragnet_tpu.model.finetune import FragNetFineTune
 from fragnet_tpu.train.loop import TrainState
 from fragnet_tpu.train.optim import make_optimizer
 
+# multi-minute file: excluded from the fast tier (make check); run via make check-full
+pytestmark = pytest.mark.slow
+
 SMILES = ["CCO", "c1ccccc1", "CC(=O)O", "CCN"]
 YS = [[-0.5], [-1.1], [0.3], [0.2]]
 graphs = build_graphs(SMILES, YS)

@@ -33,6 +33,12 @@ class TestRoundtrip:
             ub = jax.jit(lambda z: unpack_batch(z, lay))(jnp.asarray(buf))
             for f in dataclasses.fields(type(b)):
                 a, u = getattr(b, f.name), getattr(ub, f.name)
+                if f.name.startswith("dp_"):
+                    # dense planes are deliberately NOT transported (redundant
+                    # with the edge lists; the pipelined path runs the TCSR
+                    # kernel) — see packing.py build_layout docstring
+                    assert u is None, f.name
+                    continue
                 if a is None:
                     assert u is None, f.name
                     continue
