@@ -775,6 +775,7 @@ def pallas_gat_pass_ep(
     cw = meta.cw.reshape(-1)
     tn = meta.tn
     Tg = meta.n_tiles_grid
+    Ng = Tg * tn
     local_stats, local_unnorm, _ = _make_ep_op(
         N, Es, H, D, Da, tn, meta.te, meta.k_src, meta.n_chunks, Tg,
         float(negative_slope), str(node_feats_h.dtype), bool(interpret))
@@ -804,11 +805,31 @@ def pallas_gat_pass_ep(
     U_l, V_l = local_unnorm(node_feats_h, edge_attr, src, dst, edge_mask,
                             attn_vec, Mg, stats, t0, ew, sw, flat, cw)
 
-    # 4. transparent-XLA combine: embed, psum, self-loop term, divide
-    U = jax.lax.dynamic_update_slice(jnp.zeros((N, HD), f32), U_l, (r0, 0))
-    V = jax.lax.dynamic_update_slice(jnp.zeros((N, H), f32), V_l, (r0, 0))
-    NUM = jax.lax.psum(U, axis)
-    DEN = jax.lax.psum(V, axis)
+    # 4. transparent-XLA combine. Comm design (SURVEY §5.7): instead of
+    # embedding the (Ng, ·) shard block into node space and psum-ing the
+    # full (N, HD)+(N, H) arrays (ring all-reduce moves ~2·N·HD per device
+    # REGARDLESS of shard count, plus S× zero-embed HBM work), all_gather
+    # only the restricted-grid blocks — (S-1)/S · N·HD per device, the
+    # replication floor for the replicated-node-state design — and
+    # scatter-add them locally (shard dst ranges overlap in at most the
+    # boundary tiles, where the gathered partial sums simply add).
+    # all_gather/dynamic-slice stay visible to shard_map's AD, so the
+    # collective transpose (psum_scatter) is derived by jax, preserving the
+    # gradient-correctness contract described in _make_ep_op.
+    U_all = jax.lax.all_gather(U_l, axis)            # (S, Ng, HD)
+    V_all = jax.lax.all_gather(V_l, axis)            # (S, Ng, H)
+    t0_all = jax.lax.all_gather(t0[0], axis)         # (S,)
+    S = U_all.shape[0]
+    NUM = jnp.zeros((N, HD), f32)
+    DEN = jnp.zeros((N, H), f32)
+    for s in range(S):
+        rs = t0_all[s] * tn
+        NUM = jax.lax.dynamic_update_slice(
+            NUM, jax.lax.dynamic_slice(NUM, (rs, 0), (Ng, HD)) + U_all[s],
+            (rs, 0))
+        DEN = jax.lax.dynamic_update_slice(
+            DEN, jax.lax.dynamic_slice(DEN, (rs, 0), (Ng, H)) + V_all[s],
+            (rs, 0))
     if self_loops:
         nf32 = node_feats_h.astype(f32)
         z_self = _leaky(
