@@ -75,7 +75,12 @@ def main() -> None:
         and jax.default_backend() == "tpu"
     num_layers = 4
 
-    df = synthetic_dataset(n=n_mols, task="regression", seed=7)
+    # BENCH_PROFILE=esol|lipo|hiv swaps in the realistic MoleculeNet size
+    # distribution (data/synthetic.py:_SIZE_PROFILES); default keeps the
+    # legacy generator so vs_baseline stays comparable across rounds
+    profile = os.environ.get("BENCH_PROFILE") or None
+    df = synthetic_dataset(n=n_mols, task="regression", seed=7,
+                           profile=profile)
     graphs = build_graphs(list(df["smiles"]), [[v] for v in df["y"]])
     spec = spec_for(graphs, batch_size=batch_size, tcsr=use_pallas)
 

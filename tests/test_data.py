@@ -285,3 +285,30 @@ class TestMultiConfFinetune:
         assert set(per) == {"CCO", "CCN"}
         for s, ys in per.items():
             assert len(set(ys)) == 1  # all conformers share the label
+
+
+class TestSizeProfiles:
+    """Realistic MoleculeNet size distributions (data/synthetic.py profiles;
+    stats from the reference's loader_molebert.py datasets)."""
+
+    def test_profile_shapes(self):
+        import numpy as np
+
+        from fragnet_tpu.chem.smiles import MolFromSmiles
+        from fragnet_tpu.data.synthetic import synthetic_dataset
+
+        df = synthetic_dataset(n=120, seed=2, profile="esol")
+        sz = np.array([MolFromSmiles(s).GetNumAtoms() for s in df["smiles"]])
+        assert 10 <= np.median(sz) <= 20       # published median ~13
+        assert 25 <= np.percentile(sz, 95) <= 45   # published p95 ~35
+        dfh = synthetic_dataset(n=120, seed=2, profile="hiv")
+        szh = np.array([MolFromSmiles(s).GetNumAtoms() for s in dfh["smiles"]])
+        assert szh.max() > sz.max()            # heavier tail than esol
+
+    def test_profiles_featurize(self):
+        from fragnet_tpu.data.datasets import build_graphs
+        from fragnet_tpu.data.synthetic import synthetic_dataset
+
+        df = synthetic_dataset(n=6, seed=3, profile="lipo")
+        graphs = build_graphs(list(df["smiles"]), [[v] for v in df["y"]])
+        assert len(graphs) >= 5
