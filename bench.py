@@ -190,8 +190,13 @@ def main() -> None:
     state, loss = pstep(state, pb0, rng)
     _ = float(loss)
     n_epochs = max(1, n_steps // max(1, len(device_batches)) // 2)
+    # process=True packs in a forked worker: on the tunneled backend the
+    # client thread needs the GIL to pump async dispatch, so thread-mode
+    # packing serializes with device compute (the r3 pipeline regression);
+    # BENCH_PIPE_MODE=thread measures the old path for comparison
+    pipe_proc = os.environ.get("BENCH_PIPE_MODE", "process") == "process"
     t0 = time.perf_counter()
-    for b in ploader.stream(n_epochs, depth=4):
+    for b in ploader.stream(n_epochs, depth=4, process=pipe_proc):
         state, loss = pstep(state, b, rng)
     _ = float(loss)
     pipeline_eps = epoch_edges * n_epochs / (time.perf_counter() - t0)
@@ -304,6 +309,7 @@ def _roofline(jax, jnp, model, params, batch, num_layers):
 
     import numpy as _np
 
+    from fragnet_tpu.ops.dense_gat import dense_gat_pass
     from fragnet_tpu.ops.pallas_gat import pallas_gat_pass
 
     H = model.num_heads
@@ -312,27 +318,61 @@ def _roofline(jax, jnp, model, params, batch, num_layers):
     dtb = 2 if model.dtype == jnp.bfloat16 else 4
     levels = {
         "bond": (batch.nf_bonds.shape[0], batch.bg_src, batch.bg_dst,
-                 batch.bg_mask, batch.tm_bond, D, False),
+                 batch.bg_mask, batch.tm_bond, D, False,
+                 getattr(batch, "dp_bond", None)),
         "atom": (batch.x_atoms.shape[0], batch.edge_src, batch.edge_dst,
-                 batch.edge_mask, batch.tm_atom, emb, True),
+                 batch.edge_mask, batch.tm_atom, emb, True, None),
         "fconn": (batch.nf_fbonds.shape[0], batch.fc_src, batch.fc_dst,
-                  batch.fc_mask, batch.tm_fc, D, False),
+                  batch.fc_mask, batch.tm_fc, D, False,
+                  getattr(batch, "dp_fc", None)),
         "frag": (batch.x_frags.shape[0], batch.frag_src, batch.frag_dst,
-                 batch.fconn_mask, batch.tm_frag, emb, False),
+                 batch.fconn_mask, batch.tm_frag, emb, False, None),
     }
     rng = _np.random.default_rng(0)
     rep = int(os.environ.get("BENCH_ROOFLINE_STEPS", 50))
     out = {}
-    for name, (N, src, dst, mask, meta, Da, self_loops) in levels.items():
-        if meta is None:
+    for name, (N, src, dst, mask, meta, Da, self_loops, dp) in levels.items():
+        if meta is None and dp is None:
             continue
+        HD = H * D
         nf = jnp.asarray(rng.standard_normal((N, H, D)), model.dtype)
         ea = jnp.asarray(rng.standard_normal((int(src.shape[0]), Da)),
                          model.dtype)
         a = jnp.asarray(rng.standard_normal((H, 2 * D + Da)), jnp.float32)
+        n_real = float(_np.asarray(mask).sum()) + (N if self_loops else 0)
+        useful = n_real * (2 * H * (2 * D + Da) + 2 * HD)
+        peak_f = _V5E_TFLOPS.get(str(model.dtype), 197e12)
 
-        fn = jax.jit(lambda nf_, ea_: pallas_gat_pass(
-            nf_, ea_, src, dst, mask, a, meta, self_loops=self_loops)[0])
+        if dp is not None:
+            # dense zero-gather kernel (ops/dense_gat.py): the whole level is
+            # one grid step per tile; executed MXU flops = H per-head
+            # (Tn,Tn)x(Tn,D) aggregations, bytes = planes + node tiles
+            R = dp.shape[1] // dp.shape[2] - 1
+            tn = dp.shape[2]
+            n_tiles = dp.shape[0]
+            v = jnp.asarray(rng.standard_normal((R, H)), jnp.float32) * 0.1
+            c = jnp.asarray(rng.standard_normal((H,)), jnp.float32) * 0.1
+            fn = jax.jit(lambda nf_, ea_: dense_gat_pass(
+                nf_, jnp.asarray(dp), v, c, ea_, src, dst, mask, a)[0])
+            exec_flops = n_tiles * H * 2 * tn * tn * D
+            exec_bytes = n_tiles * ((R + 1) * tn * tn * 4
+                                    + tn * HD * (dtb + 4) + 4 * tn * H * 4)
+            grid = [n_tiles, 1]
+            k = 1
+        else:
+            fn = jax.jit(lambda nf_, ea_: pallas_gat_pass(
+                nf_, ea_, src, dst, mask, a, meta, self_loops=self_loops)[0])
+            tn, te, k, nc = meta.tn, meta.te, meta.k_src, meta.n_chunks
+            gsteps = (N // tn) * nc
+            flops_step = (3 * 2 * te * tn * H + 2 * te * k * tn * H
+                          + 2 * te * k * tn * HD + 2 * te * tn * HD
+                          + 2 * (te + 2 * tn) * H * HD)
+            exec_flops = gsteps * flops_step
+            bytes_step = (k + 1) * tn * (2 * H * 4 + HD * dtb) \
+                + te * (4 * H + 12)
+            exec_bytes = gsteps * bytes_step + N * (HD * 4 + 2 * H * 4)
+            grid = [N // tn, nc]
+
         o = fn(nf, ea)
         _ = float(jnp.sum(o))  # compile + sync
         t0 = _t.perf_counter()
@@ -341,18 +381,6 @@ def _roofline(jax, jnp, model, params, batch, num_layers):
         _ = float(jnp.sum(o))
         dt = (_t.perf_counter() - t0) / rep
 
-        tn, te, k, nc = meta.tn, meta.te, meta.k_src, meta.n_chunks
-        grid = (N // tn) * nc
-        HD = H * D
-        flops_step = (3 * 2 * te * tn * H + 2 * te * k * tn * H
-                      + 2 * te * k * tn * HD + 2 * te * tn * HD
-                      + 2 * (te + 2 * tn) * H * HD)
-        exec_flops = grid * flops_step
-        bytes_step = (k + 1) * tn * (2 * H * 4 + HD * dtb) + te * (4 * H + 12)
-        exec_bytes = grid * bytes_step + N * (HD * 4 + 2 * H * 4)
-        n_real = float(_np.asarray(mask).sum()) + (N if self_loops else 0)
-        useful = n_real * (2 * H * (2 * D + Da) + 2 * HD)
-        peak_f = _V5E_TFLOPS.get(str(model.dtype), 197e12)
         out[name] = {
             "ms": round(dt * 1e3, 3),
             "exec_tflops": round(exec_flops / dt / 1e12, 2),
@@ -360,7 +388,8 @@ def _roofline(jax, jnp, model, params, batch, num_layers):
             "hbm_gbps": round(exec_bytes / dt / 1e9, 1),
             "pct_hbm_peak": round(100 * exec_bytes / dt / _V5E_HBM, 1),
             "useful_flop_frac": round(useful / exec_flops, 4),
-            "grid": [N // tn, nc], "k_src": k,
+            "grid": grid, "k_src": k,
+            "kernel": "dense" if dp is not None else "tcsr",
         }
     return out
 
