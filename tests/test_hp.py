@@ -102,3 +102,156 @@ class TestEndToEnd:
         assert study.n_complete == 6
         assert len(seen) == 6
         assert study.best_trial[1] == min(seen)
+
+
+class TestBackendDelegation:
+    """Execute the hyperopt / ray delegation paths (reference hp/hp.py,
+    hpray.py) against minimal API stubs — neither package ships in this
+    image, so these validate the glue (space construction, objective
+    wiring, failure handling), not the external optimizers."""
+
+    def _stub_hyperopt(self, calls):
+        import sys
+        import types
+
+        m = types.ModuleType("hyperopt")
+
+        class _Expr:
+            def __init__(self, name, kind, args):
+                self.name, self.kind, self.args = name, kind, args
+
+        hp = types.SimpleNamespace(
+            choice=lambda name, opts: _Expr(name, "choice", opts),
+            loguniform=lambda name, lo, hi: _Expr(name, "loguniform", (lo, hi)),
+        )
+
+        class Trials(list):
+            pass
+
+        def fmin(objective, space, algo=None, max_evals=0, trials=None):
+            import math
+            import random
+
+            rng = random.Random(0)
+            for _ in range(max_evals):
+                params = {}
+                for k, e in space.items():
+                    if e.kind == "choice":
+                        params[k] = rng.choice(list(e.args))
+                    else:
+                        lo, hi = e.args
+                        params[k] = math.exp(rng.uniform(lo, hi))
+                loss = objective(params)
+                calls.append((params, loss))
+                trials.append({"params": params, "loss": loss})
+            return {}
+
+        m.hp = hp
+        m.tpe = types.SimpleNamespace(suggest=object())
+        m.Trials = Trials
+        m.fmin = fmin
+        sys.modules["hyperopt"] = m
+        return m
+
+    def test_hyperopt_backend(self, tmp_path, monkeypatch):
+        import sys
+
+        from fragnet_tpu.config import Config
+        from fragnet_tpu.hp import search as hps
+
+        calls = []
+        self._stub_hyperopt(calls)
+        try:
+            seen = []
+
+            def train_fn(cfg):
+                seen.append(cfg)
+                return float(cfg.finetune.model.h1) / 2048.0
+
+            base = Config({"finetune": {"model": {}, }})
+            trials = hps._run_hyperopt(base, 3, train_fn)
+            assert len(calls) == 3 and len(seen) == 3
+            # injected params reached the config
+            assert all("h1" in c["params"] for c in [
+                {"params": p} for p, _ in calls])
+            for cfg in seen:
+                assert cfg.finetune.model.h1 % 64 == 0
+                assert cfg.finetune.get("lr") is not None
+        finally:
+            sys.modules.pop("hyperopt", None)
+
+    def test_hyperopt_failure_score(self, monkeypatch):
+        import sys
+
+        from fragnet_tpu.config import Config
+        from fragnet_tpu.hp import search as hps
+
+        calls = []
+        self._stub_hyperopt(calls)
+        try:
+            def train_fn(cfg):
+                raise RuntimeError("boom")
+
+            hps._run_hyperopt(Config({"finetune": {"model": {}}}), 2,
+                              train_fn)
+            assert all(loss == hps.FAILURE_SCORE for _, loss in calls)
+        finally:
+            sys.modules.pop("hyperopt", None)
+
+    def test_ray_backend(self):
+        import sys
+        import types
+
+        from fragnet_tpu.config import Config
+        from fragnet_tpu.hp import search as hps
+
+        reported = []
+
+        class _Expr:
+            def __init__(self, opts):
+                self.opts = opts
+
+        tune = types.ModuleType("ray.tune")
+        tune.choice = lambda opts: _Expr(list(opts))
+        tune.loguniform = lambda lo, hi: _Expr([lo, hi])
+        tune.report = lambda d: reported.append(d)
+
+        class TuneConfig:
+            def __init__(self, **kw):
+                self.kw = kw
+
+        class Tuner:
+            def __init__(self, trainable, param_space=None, tune_config=None):
+                self.trainable = trainable
+                self.space = param_space
+                self.n = tune_config.kw["num_samples"]
+
+            def fit(self):
+                import random
+
+                rng = random.Random(1)
+                for _ in range(self.n):
+                    params = {}
+                    for k, e in self.space.items():
+                        params[k] = rng.choice(e.opts) if len(e.opts) != 2 \
+                            or isinstance(e.opts[0], str) else e.opts[0]
+                    self.trainable(params)
+                return reported
+
+        tune.TuneConfig = TuneConfig
+        tune.Tuner = Tuner
+        ray = types.ModuleType("ray")
+        ray.tune = tune
+        sys.modules["ray"] = ray
+        sys.modules["ray.tune"] = tune
+        try:
+            def train_fn(cfg):
+                return 0.5
+
+            out = hps._run_ray(Config({"finetune": {"model": {}}}), 2,
+                               train_fn)
+            assert len(out) == 2
+            assert all(r["score"] == 0.5 for r in out)
+        finally:
+            sys.modules.pop("ray", None)
+            sys.modules.pop("ray.tune", None)
