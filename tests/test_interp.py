@@ -194,3 +194,68 @@ class TestFconnFoldingAlignment:
                 for k in range(g.n_fconn // 2):
                     assert (fi[0, 2 * k], fi[1, 2 * k]) == \
                         (fi[1, 2 * k + 1], fi[0, 2 * k + 1]), (s, k)
+
+
+class TestStreamlitApp:
+    """Execute interp/app.py's streamlit branch (reference vizualize/app.py)
+    under a recording stub — streamlit is not installed in this image, so
+    this validates the app flow (widget wiring, per-tab images/tables), not
+    the web server."""
+
+    def test_run_streamlit_under_stub(self, tmp_path):
+        import sys
+        import types
+
+        calls = {"image": 0, "dataframe": 0, "metric": [], "tabs": 0}
+
+        class _Ctx:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        class _Sidebar:
+            @staticmethod
+            def selectbox(label, options):
+                return list(options)[0]  # "Solubility (ESOL)"
+
+            @staticmethod
+            def text_input(label, value=""):
+                return value if "config" in label.lower() else ""
+
+            @staticmethod
+            def expander(label):
+                return _Ctx()
+
+        st = types.ModuleType("streamlit")
+        st.set_page_config = lambda **kw: None
+        st.title = lambda *a: None
+        st.sidebar = _Sidebar()
+        st.write = lambda *a, **kw: None
+        st.text_input = lambda label, value="": value
+        st.button = lambda label: True
+        st.metric = lambda label, v: calls["metric"].append(v)
+
+        def _tabs(names):
+            calls["tabs"] = len(names)
+            return [_Ctx() for _ in names]
+
+        st.tabs = _tabs
+        st.image = lambda *a, **kw: calls.__setitem__(
+            "image", calls["image"] + 1)
+        st.dataframe = lambda *a, **kw: calls.__setitem__(
+            "dataframe", calls["dataframe"] + 1)
+
+        sys.modules["streamlit"] = st
+        try:
+            from fragnet_tpu.interp import app
+
+            app.run_streamlit()
+        finally:
+            sys.modules.pop("streamlit", None)
+
+        assert calls["metric"], "no prediction rendered"
+        assert calls["tabs"] == 4
+        assert calls["image"] >= 3      # atoms + bonds + fragments images
+        assert calls["dataframe"] >= 2  # per-tab tables
