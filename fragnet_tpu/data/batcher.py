@@ -205,7 +205,11 @@ class BatchLoader:
             next(iter(self))  # build the layout in the parent first
         import multiprocessing as mp
 
-        ctx = mp.get_context("fork")
+        # spawn, not fork: the parent has live JAX threads (and, on this
+        # pod, an active device tunnel) — fork() under them deadlocks or
+        # degrades; the spawned worker re-imports numpy-only code paths and
+        # receives the loader by pickle
+        ctx = mp.get_context("spawn")
         q = ctx.Queue(maxsize=depth)
         host = BatchLoader(
             self.graphs, self.batch_size, spec=self.spec, shuffle=self.shuffle,
