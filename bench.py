@@ -195,11 +195,16 @@ def main() -> None:
     # packing serializes with device compute (the r3 pipeline regression);
     # BENCH_PIPE_MODE=thread measures the old path for comparison
     pipe_proc = os.environ.get("BENCH_PIPE_MODE", "process") == "process"
+    pipe_err = None
     t0 = time.perf_counter()
-    for b in ploader.stream(n_epochs, depth=4, process=pipe_proc):
-        state, loss = pstep(state, b, rng)
-    _ = float(loss)
-    pipeline_eps = epoch_edges * n_epochs / (time.perf_counter() - t0)
+    try:
+        for b in ploader.stream(n_epochs, depth=4, process=pipe_proc):
+            state, loss = pstep(state, b, rng)
+        _ = float(loss)
+        pipeline_eps = epoch_edges * n_epochs / (time.perf_counter() - t0)
+    except Exception as e:  # a dead pack worker must not kill the bench
+        pipe_err = f"{type(e).__name__}: {e}"
+        pipeline_eps = 0.0
 
     # --- HBM-resident dataset (the finetune-scale steady state): batches
     # cached on device after epoch 1, shuffled order per epoch.
@@ -281,6 +286,8 @@ def main() -> None:
         out["mosaic_vs_xla_maxdiff"] = mosaic_check
     if cw_hetero:
         out["cw_hetero"] = cw_hetero
+    if pipe_err:
+        out["pipeline_error"] = pipe_err
     if sweep:
         out["sweep_edges_per_sec"] = sweep
     if roofline:

@@ -226,7 +226,16 @@ class BatchLoader:
         proc.start()
         try:
             while True:
-                item = q.get()
+                # bounded wait: a dead/stuck worker must surface as an error,
+                # not an indefinite q.get() hang in the training loop
+                import queue as _queue
+
+                try:
+                    item = q.get(timeout=180)
+                except _queue.Empty:
+                    raise RuntimeError(
+                        "pack worker produced nothing for 180s "
+                        f"(alive={proc.is_alive()})")
                 if item is None:
                     return
                 if isinstance(item, str):  # worker traceback
