@@ -154,13 +154,10 @@ def train_reference(train_g, val_g, test_g, seed, task, n_epochs, patience,
                 loss = utils.compute_bce_loss(out, y.view(out.shape))
             loss.backward()
             opt.step()
-        # val score with the SAME metric the early stop uses on our side:
-        # regr → mse on val; clsf → −roc_auc
-        if task == "regr":
-            val, *_ = trainer.test(model=model, loader=val_b, device="cpu")
-        else:
-            roc, *_ = trainer.test(model=model, loader=val_b, device="cpu")
-            val = -roc
+        # val score with the SAME metric the early stop uses on our side —
+        # trainer.test already returns a minimize-me value for both tasks
+        # (regr → mse; clsf → −roc_auc, utils.py:544)
+        val, *_ = trainer.test(model=model, loader=val_b, device="cpu")
         if val < best_val - 1e-12:
             best_val, bad = val, 0
             best_state = copy.deepcopy(model.state_dict())
@@ -174,7 +171,8 @@ def train_reference(train_g, val_g, test_g, seed, task, n_epochs, patience,
     if best_state is not None:
         model.load_state_dict(best_state)
     score, *_ = trainer.test(model=model, loader=test_b, device="cpu")
-    return float(np.sqrt(score)) if task == "regr" else float(score)
+    # regr: mse → rmse; clsf: −roc_auc → roc_auc
+    return float(np.sqrt(score)) if task == "regr" else float(-score)
 
 
 # ---------------------------------------------------------------------------
