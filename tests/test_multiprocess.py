@@ -20,6 +20,9 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# multi-minute file: excluded from the fast tier (make check); run via make check-full
+pytestmark = pytest.mark.slow
+
 _WORKER = r"""
 import os, sys
 sys.path.insert(0, %(repo)r)
@@ -44,8 +47,6 @@ from fragnet_tpu.model.finetune import FragNetFineTune
 from fragnet_tpu.train.loop import TrainState
 from fragnet_tpu.train.optim import make_optimizer
 
-# multi-minute file: excluded from the fast tier (make check); run via make check-full
-pytestmark = pytest.mark.slow
 
 SMILES = ["CCO", "c1ccccc1", "CC(=O)O", "CCN"]
 YS = [[-0.5], [-1.1], [0.3], [0.2]]
