@@ -62,15 +62,24 @@ def pretrain_loss(preds, batch, compat_loss_overwrite: bool = False) -> jnp.ndar
 
 
 def make_pretrain_step(model, tx: optax.GradientTransformation,
-                       compat_loss_overwrite: bool = False) -> Callable:
+                       compat_loss_overwrite: bool = False,
+                       layout=None) -> Callable:
+    """``layout``: a data.packing.PackLayout — the step then takes a packed
+    uint8 buffer and unpacks it in-jit (the big-dataset streaming path)."""
     @partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch, base_rng) -> Tuple[TrainState, jnp.ndarray]:
+        if layout is not None:
+            from fragnet_tpu.data.packing import unpack_batch
+
+            batch_ = unpack_batch(batch, layout)
+        else:
+            batch_ = batch
         rng = jax.random.fold_in(base_rng, state.step)
 
         def loss(params):
-            preds = model.apply(params, batch, deterministic=False,
+            preds = model.apply(params, batch_, deterministic=False,
                                 rngs={"dropout": rng, "mask": rng})
-            return pretrain_loss(preds, batch, compat_loss_overwrite)
+            return pretrain_loss(preds, batch_, compat_loss_overwrite)
 
         l, grads = jax.value_and_grad(loss)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -91,12 +100,18 @@ def make_pretrain_eval(model, compat_loss_overwrite: bool = False) -> Callable:
 
 
 class PretrainTrainer:
-    """Epoch driver (reference pretrain_utils.Trainer:4-56)."""
+    """Epoch driver (reference pretrain_utils.Trainer:4-56).
 
-    def __init__(self, model, tx, compat_loss_overwrite: bool = False):
+    ``layout``: when set, train_epoch consumes packed uint8 buffers (the
+    process-streamed big-dataset path; data/packing.py) and the step unpacks
+    them in-jit."""
+
+    def __init__(self, model, tx, compat_loss_overwrite: bool = False,
+                 layout=None):
         self.model = model
         self.tx = tx
-        self._step = make_pretrain_step(model, tx, compat_loss_overwrite)
+        self._step = make_pretrain_step(model, tx, compat_loss_overwrite,
+                                        layout=layout)
         self._eval = make_pretrain_eval(model, compat_loss_overwrite)
 
     def train_epoch(self, state: TrainState, batches: Iterable, rng):
@@ -383,14 +398,38 @@ def run_pretrain(opt, quiet: bool = False):
 
     tx = make_optimizer(pt.get("optimizer", "adam"), lr=float(pt.get("lr", 1e-4)))
     state = TrainState.create(params, tx)
-    trainer = PretrainTrainer(model, tx,
-                              compat_loss_overwrite=bool(pt.get("compat_loss_overwrite", False)))
+    n_epochs = int(pt.get("n_epochs", 100))
+    val_every = int(pt.get("val_every", 5))
+
+    # big-dataset streaming: when the padded set does NOT fit the HBM cache
+    # (maybe_cache left the plain loader) and we are on TPU, train from the
+    # packed single-buffer transport with a spawned pack worker — host
+    # padding/packing fully overlaps device compute (data/batcher.py stream;
+    # this is pretraining's steady-state shape, SURVEY §5.5)
+    from fragnet_tpu.data.batcher import DeviceCacheLoader
+
+    packed_stream = None
+    compat = bool(pt.get("compat_loss_overwrite", False))
+    if (not isinstance(train_loader, DeviceCacheLoader) and fp.tcsr
+            and jax.default_backend() == "tpu"
+            and pt.get("stream", "auto") != "off"):
+        ploader = BatchLoader(train_g, bs, spec=spec, shuffle=True,
+                              seed=seed, with_targets=True, pack=True,
+                              compute_dtype=fp.dtype)
+        next(iter(ploader))  # build the pack layout in-parent
+        trainer = PretrainTrainer(model, tx, compat_loss_overwrite=compat,
+                                  layout=ploader.layout)
+        packed_stream = ploader.stream(n_epochs, depth=4, process=True)
+        batches_per_epoch = len(ploader)
+        if not quiet:
+            print(f"packed process stream active "
+                  f"({ploader.layout.total_bytes / 1e6:.1f} MB/batch)")
+    else:
+        trainer = PretrainTrainer(model, tx, compat_loss_overwrite=compat)
 
     ckpt = os.path.join(exp_dir, pt.get("chkpoint_name", "pt.ckpt"))
     es = EarlyStopping(patience=int(pt.get("es_patience", 200)), path=ckpt,
                        save_fn=save_params)
-    n_epochs = int(pt.get("n_epochs", 100))
-    val_every = int(pt.get("val_every", 5))
 
     # scalar history + optional profiler trace (pretrain_gat2.py:171-177)
     from fragnet_tpu.obs import ScalarLogger, profile_trace
@@ -404,7 +443,18 @@ def run_pretrain(opt, quiet: bool = False):
     for epoch in range(n_epochs):
         rng, sub = jax.random.split(rng)
         with profile_trace(profile_dir if epoch == 1 else None):
-            state, train_loss = trainer.train_epoch(state, train_loader, sub)
+            if packed_stream is not None:
+                losses = []
+                for _ in range(batches_per_epoch):
+                    b = next(packed_stream, None)
+                    if b is None:
+                        break
+                    state, l = trainer._step(state, b, sub)
+                    losses.append(l)
+                train_loss = sum(float(l) for l in losses) / max(len(losses), 1)
+            else:
+                state, train_loss = trainer.train_epoch(state, train_loader,
+                                                        sub)
         logger.log("train/loss", train_loss, epoch)
         if epoch % val_every == 0 or epoch == n_epochs - 1:
             val_loss = trainer.validate(state.params, val_loader)

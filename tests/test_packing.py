@@ -116,3 +116,44 @@ class TestLoaders:
         e2 = [float(np.asarray(b.y).sum()) for b in cache]
         assert sorted(e1) == sorted(e2)
         assert len(e1) == len(cache)
+
+
+class TestPackedPretrainStep:
+    def test_pretrain_loss_matches_unpacked(self, ft_graphs):
+        """make_pretrain_step(layout=...) on the packed buffer must equal the
+        plain step on the original batch (the run_pretrain streaming path)."""
+        import jax
+
+        from fragnet_tpu.model.pretrain import FragNetPreTrain
+        from fragnet_tpu.train.loop import TrainState
+        from fragnet_tpu.train.optim import make_optimizer
+        from fragnet_tpu.train.pretrain import make_pretrain_step
+        from fragnet_tpu.data.datasets import PretrainData
+
+        maker = PretrainData(data_type="exp1s")
+        graphs = maker.get_pt_dataset(
+            ["CCO", "c1ccccc1", "CC(=O)O", "CCN"], seed=0)
+        loader = BatchLoader(graphs, 4, spec=_spec(graphs),
+                             shuffle=False, to_device=False,
+                             with_targets=True)
+        b = next(iter(loader))
+        lay = build_layout(b, jnp.float32)
+        buf = jnp.asarray(pack_batch(b, lay))
+
+        model = FragNetPreTrain(num_layer=1, num_heads=2, emb_dim=16)
+        bj = jax.tree.map(
+            lambda x: jnp.asarray(x) if x is not None else None, b)
+        params = model.init(jax.random.PRNGKey(0), bj, deterministic=True)
+        tx = make_optimizer("adam", lr=1e-3)
+
+        params2 = jax.tree.map(lambda x: x.copy(), params)  # step donates
+        s1 = TrainState.create(params, tx)
+        s2 = TrainState.create(params2, tx)
+        step_plain = make_pretrain_step(model, tx)
+        step_packed = make_pretrain_step(model, tx, layout=lay)
+        rng = jax.random.PRNGKey(1)
+        for _ in range(2):
+            s1, l1 = step_plain(s1, bj, rng)
+            s2, l2 = step_packed(s2, buf, rng)
+            np.testing.assert_allclose(float(l1), float(l2),
+                                       rtol=1e-5, atol=1e-6)
