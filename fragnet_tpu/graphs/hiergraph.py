@@ -86,6 +86,10 @@ class HierGraphBatch:
     # bond/fconn passes — present only for tile-aligned batches
     dp_bond: Optional[np.ndarray] = None  # (E//tn, 2*tn, tn) f32
     dp_fc: Optional[np.ndarray] = None    # (C//tn, 7*tn, tn) f32
+    # adjacency-only planes for the dynamic-edge-attr dense passes
+    # (atom / frag levels; ops/dense_gat.py dense_attr_gat_pass)
+    dp_atom: Optional[np.ndarray] = None  # (A//tn, tn, tn) f32
+    dp_frag: Optional[np.ndarray] = None  # (F//tn, tn, tn) f32
 
     @property
     def n_graphs(self) -> int:
@@ -519,6 +523,13 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
             bg_src, bg_dst, bg_mask, ea_bonds, E, tn=spec.tn)
         dense_kw["dp_fc"] = build_dense_planes(
             fc_src, fc_dst, fc_mask, ea_fbonds, C, tn=spec.tn)
+        # adjacency-only planes for the dynamic-attr dense passes
+        dense_kw["dp_atom"] = build_dense_planes(
+            edge_src, edge_dst, edge_mask, np.zeros((E, 0), np.float32),
+            A, tn=spec.tn)
+        dense_kw["dp_frag"] = build_dense_planes(
+            frag_src, frag_dst, fconn_mask, np.zeros((C, 0), np.float32),
+            F, tn=spec.tn)
 
     ell_kw = {}
     if spec.k_atom is not None:

@@ -25,7 +25,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
-from fragnet_tpu.ops.dense_gat import dense_gat_pass
+import os as _os
+
+from fragnet_tpu.ops.dense_gat import dense_attr_gat_pass, dense_gat_pass
+
+# kill switch for the dynamic-attr dense kernels (atom/frag levels) — lets
+# bench compare against the TCSR k=1 path without rebuilding batches
+_DENSE_ATTR = _os.environ.get("FRAGNET_DENSE_ATTR", "1") == "1"
 from fragnet_tpu.ops.ell import ell_gat_pass
 from fragnet_tpu.ops.pallas_gat import pallas_gat_pass, pallas_gat_pass_ep
 from fragnet_tpu.ops.tcsr import EPTileMeta, TileMeta
@@ -239,6 +245,15 @@ class FragNetLayer(nn.Module):
                 nf_a, e_attr_h, src, dst, a, A, edge_mask=e_mask,
                 axis_name=self.ep_axis,
             )
+        elif _DENSE_ATTR and batch.dp_atom is not None \
+                and isinstance(batch.tm_atom, TileMeta):
+            # dense per-tile kernel with in-kernel edge-attr scatter
+            # (ops/dense_gat.py); self-loops folded analytically
+            atom_out_feats, attn_atoms_full = dense_attr_gat_pass(
+                nf_a, new_bond_features, batch.edge_src, batch.edge_dst,
+                batch.edge_mask, a, batch.dp_atom, batch.tm_atom,
+                self_loops=True,
+            )
         elif isinstance(batch.tm_atom, TileMeta):
             # self-loops (zero edge attrs, gat2.py:179-185) folded in-kernel
             atom_out_feats, attn_atoms_full = pallas_gat_pass(
@@ -354,6 +369,12 @@ class FragNetLayer(nn.Module):
             frag_out, attn_frags = gat_attention_pass(
                 nf_f, fb_attr_h, batch.frag_src, batch.frag_dst, f, F,
                 edge_mask=fm_local, axis_name=self.ep_axis,
+            )
+        elif _DENSE_ATTR and batch.dp_frag is not None \
+                and isinstance(batch.tm_frag, TileMeta):
+            frag_out, attn_frags = dense_attr_gat_pass(
+                nf_f, new_fbond_features, batch.frag_src, batch.frag_dst,
+                batch.fconn_mask, f, batch.dp_frag, batch.tm_frag,
             )
         elif isinstance(batch.tm_frag, TileMeta):
             frag_out, attn_frags = pallas_gat_pass(

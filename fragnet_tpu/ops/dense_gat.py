@@ -94,6 +94,195 @@ def build_dense_planes(
 # kernels
 # --------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# dynamic-edge-attr variant (atom / frag levels)
+# ---------------------------------------------------------------------------
+#
+# The atom and frag passes carry DYNAMIC per-edge logit terms
+# (w_ea_e = new_bond_features[e] @ a_ea^T — gat2.py:186-204, 283-316), so
+# their dense planes cannot be host-precomputed. Instead the kernel scatters
+# the edge-space (Te, H) w_ea blocks into per-head (Tn, Tn) dense planes with
+# one fat one-hot matmul per head per chunk (grid dim 1 walks the tile's
+# TCSR edge window — the SAME TileMeta the fused TCSR kernel uses), then
+# runs the dense masked softmax + per-head (Tn,Tn)x(Tn,D) aggregation.
+# Self-loops (atom pass, gat2.py:179-185) are folded analytically.
+
+def _build_adj(adj_ref, tn):
+    adj = adj_ref[0, :tn, :].astype(jnp.float32)
+    return adj, adj > 0.0
+
+
+def _attr_fwd_kernel(t0_ref, ew_ref, cw_ref, adj_ref, wd_ref, wsT_ref,
+                     ws_ref, nf_ref, wea_ref, src_ref, dst_ref, emask_ref,
+                     out_ref, m_ref, den_ref, *wea_acc,
+                     tn, te, n_chunks, H, D, self_loops, slope, big_prec):
+    f32 = jnp.float32
+    t = pl.program_id(0)
+    t_abs = t0_ref[0] + t
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        for h in range(H):
+            wea_acc[h][:] = jnp.zeros((tn, tn), f32)
+
+    # phase 1: scatter this chunk's edge logit terms into the dense planes
+    @pl.when(c < cw_ref[t])
+    def _scatter():
+        dst_l = dst_ref[:] - t_abs * tn              # (Te, 1) i32
+        src_l = src_ref[:] - t_abs * tn              # aligned: same tile
+        keep = (dst_l >= 0) & (dst_l < tn) & (src_l >= 0) & (src_l < tn) \
+            & (emask_ref[:] > 0)
+        oh_dst = ((dst_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1))
+                  & keep).astype(f32)
+        oh_src = ((src_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1))
+                  & keep).astype(f32)
+        wea = wea_ref[:].astype(f32)                 # (Te, H)
+        for h in range(H):
+            r_h = oh_src * jax.lax.slice(wea, (0, h), (te, h + 1))
+            wea_acc[h][:] = wea_acc[h][:] + jax.lax.dot_general(
+                oh_dst, r_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=big_prec)
+
+    # phase 2: dense masked softmax + aggregation on the last grid step
+    @pl.when(c == n_chunks - 1)
+    def _attend():
+        adj, msk = _build_adj(adj_ref, tn)
+        nf = nf_ref[:].astype(f32)
+        for h in range(H):
+            zpre = wd_ref[:, h:h + 1] + wsT_ref[h:h + 1, :] + wea_acc[h][:]
+            z = jnp.where(msk, _leaky(zpre, slope), _NEG)
+            m_h = jnp.max(z, axis=1, keepdims=True)
+            if self_loops:
+                zs = _leaky(wd_ref[:, h:h + 1] + ws_ref[:, h:h + 1], slope)
+                m_h = jnp.maximum(m_h, zs)
+            p = jnp.exp(z - m_h) * adj
+            den = jnp.sum(p, axis=1, keepdims=True)
+            nf_h = jax.lax.slice(nf, (0, h * D), (tn, (h + 1) * D))
+            out_h = jax.lax.dot_general(
+                p, nf_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=big_prec)
+            if self_loops:
+                ps = jnp.exp(zs - m_h)               # (Tn, 1)
+                den = den + ps
+                out_h = out_h + ps * nf_h
+            deng = jnp.where(den == 0.0, 1.0, den)
+            out_ref[:, h * D:(h + 1) * D] = out_h / deng
+            m_ref[:, h:h + 1] = m_h
+            den_ref[:, h:h + 1] = den
+
+
+def _attr_bwd_kernel(t0_ref, ew_ref, cw_ref, adj_ref, wd_ref, wsT_ref,
+                     ws_ref, nf_ref, wea_ref, src_ref, dst_ref, emask_ref,
+                     m_all_ref, den_all_ref, g_ref, s_ref,
+                     d_wd_ref, d_wsT_ref, d_wself_ref, d_nf_ref, d_wea_ref,
+                     *scratch,
+                     tn, te, n_chunks, H, D, self_loops, slope, big_prec):
+    """Backward part 1: re-accumulate the dense WEA planes (phase A, same as
+    forward), run the dense softmax backward on the last chunk, and write
+    the per-head d_zpre planes to an (n_tiles, H*Tn, Tn) output; the
+    separate ``_attr_emit_kernel`` then converts those planes back to
+    per-edge (Te, H) gradients in tiled edge space (flat_slot gathers them,
+    exactly like the TCSR backward's d_z path)."""
+    f32 = jnp.float32
+    t = pl.program_id(0)
+    t_abs = t0_ref[0] + t
+    c = pl.program_id(1)
+    wea_acc = scratch[:H]
+
+    @pl.when(c == 0)
+    def _init():
+        for h in range(H):
+            wea_acc[h][:] = jnp.zeros((tn, tn), f32)
+
+    @pl.when(c < cw_ref[t])
+    def _scatter():
+        dst_l = dst_ref[:] - t_abs * tn
+        src_l = src_ref[:] - t_abs * tn
+        keep = (dst_l >= 0) & (dst_l < tn) & (src_l >= 0) & (src_l < tn) \
+            & (emask_ref[:] > 0)
+        oh_dst = ((dst_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1))
+                  & keep).astype(f32)
+        oh_src = ((src_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1))
+                  & keep).astype(f32)
+        wea = wea_ref[:].astype(f32)
+        for h in range(H):
+            r_h = oh_src * jax.lax.slice(wea, (0, h), (te, h + 1))
+            wea_acc[h][:] = wea_acc[h][:] + jax.lax.dot_general(
+                oh_dst, r_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=big_prec)
+
+    @pl.when(c == n_chunks - 1)
+    def _dense_bwd():
+        adj, msk = _build_adj(adj_ref, tn)
+        nf = nf_ref[:].astype(f32)
+        for h in range(H):
+            zpre = wd_ref[:, h:h + 1] + wsT_ref[h:h + 1, :] + wea_acc[h][:]
+            z = jnp.where(msk, _leaky(zpre, slope), _NEG)
+            m_h = m_all_ref[:, h:h + 1]
+            den_h = den_all_ref[:, h:h + 1]
+            deng = jnp.where(den_h == 0.0, 1.0, den_h)
+            p = jnp.exp(z - m_h) * adj / deng
+            g_h = jax.lax.slice(g_ref[:], (0, h * D), (tn, (h + 1) * D))
+            nf_h = jax.lax.slice(nf, (0, h * D), (tn, (h + 1) * D))
+            d_p = jax.lax.dot_general(
+                g_h, nf_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=big_prec)
+            s_h = s_ref[:, h:h + 1]
+            d_z = p * (d_p - s_h)
+            d_zpre = d_z * jnp.where(zpre > 0, 1.0, slope) * adj
+            d_nf_h = jax.lax.dot_general(
+                p, g_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=big_prec)
+            d_wd_h = jnp.sum(d_zpre, axis=1, keepdims=True)
+            d_ws_row = jnp.sum(d_zpre, axis=0, keepdims=True)
+            if self_loops:
+                zs_pre = wd_ref[:, h:h + 1] + ws_ref[:, h:h + 1]
+                zs = _leaky(zs_pre, slope)
+                ps = jnp.exp(zs - m_h) / deng        # (Tn, 1)
+                d_ps = jnp.sum(g_h * nf_h, axis=1, keepdims=True)
+                d_zs = ps * (d_ps - s_h)
+                d_zs = d_zs * jnp.where(zs_pre > 0, 1.0, slope)
+                d_wself_ref[:, h:h + 1] = d_zs
+                d_nf_h = d_nf_h + ps * g_h
+            else:
+                d_wself_ref[:, h:h + 1] = jnp.zeros((tn, 1), f32)
+            d_nf_ref[:, h * D:(h + 1) * D] = d_nf_h
+            d_wd_ref[:, h:h + 1] = d_wd_h
+            d_wsT_ref[h:h + 1, :] = d_ws_row
+            # stash d_zpre for the emit kernel (overwrite the WEA scratch
+            # and write it out per tile)
+            d_wea_ref[0, h * tn:(h + 1) * tn, :] = d_zpre
+
+
+def _attr_emit_kernel(t0_ref, ew_ref, cw_ref, dz_ref, src_ref, dst_ref,
+                      emask_ref, d_wea_ref, *, tn, te, n_chunks, H,
+                      self_loops, slope, big_prec):
+    """Edge-space emit: d_wea[e, h] = d_zpre_h[dst_l[e], src_l[e]] — one
+    oh_dst·plane matmul + masked row-reduce per head per chunk, written to
+    tiled edge space (flat_slot gathers it back, like the TCSR backward)."""
+    f32 = jnp.float32
+    t = pl.program_id(0)
+    t_abs = t0_ref[0] + t
+    c = pl.program_id(1)
+    dst_l = dst_ref[:] - t_abs * tn
+    src_l = src_ref[:] - t_abs * tn
+    keep = (dst_l >= 0) & (dst_l < tn) & (src_l >= 0) & (src_l < tn) \
+        & (emask_ref[:] > 0)
+    oh_dst = ((dst_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1))
+              & keep).astype(f32)
+    oh_src = ((src_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1))
+              & keep).astype(f32)
+    cols = []
+    for h in range(H):
+        plane = dz_ref[0, h * tn:(h + 1) * tn, :]     # (Tn, Tn)
+        gsel = jax.lax.dot_general(
+            oh_dst, plane, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=big_prec)  # (Te, Tn)
+        cols.append(jnp.sum(gsel * oh_src, axis=1, keepdims=True))
+    d_wea_ref[0] = jnp.concatenate(cols, axis=1)      # (Te, H)
+
+
 def _fwd_kernel(planes_ref, wd_ref, wsT_ref, nf_ref, vc_ref,
                 out_ref, m_ref, den_ref, *, tn, H, D, R, slope, big_prec):
     f32 = jnp.float32
@@ -164,6 +353,222 @@ def _bwd_kernel(planes_ref, wd_ref, wsT_ref, nf_ref, vc_ref, m_ref, den_ref,
                  (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == h)
             vc = vc + jnp.where(oh, d_vc_rows[h][r], 0.0)
     d_vc_ref[0] = vc
+
+
+# --------------------------------------------------------------------------
+# builders + custom VJP: dynamic-edge-attr variant
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _build_attr(N, E, tn, te, n_chunks, H, D, self_loops, slope, dt_name,
+                interpret):
+    dt = jnp.dtype(dt_name)
+    big_prec = _HI if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    HD = H * D
+    n_tiles = N // tn
+    grid = (n_tiles, n_chunks)
+    kp = dict(tn=tn, te=te, n_chunks=n_chunks, H=H, D=D,
+              self_loops=self_loops, slope=slope, big_prec=big_prec)
+    comp = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"))
+
+    adj_spec = pl.BlockSpec((1, tn, tn), lambda t, c, t0, ew, cw: (t, 0, 0))
+    tile = lambda w: pl.BlockSpec((tn, w), lambda t, c, t0, ew, cw: (t, 0))
+    wsT_spec = pl.BlockSpec((8, tn), lambda t, c, t0, ew, cw: (0, t))
+    edge = lambda w: pl.BlockSpec(
+        (te, w), lambda t, c, t0, ew, cw: (ew[t] + jnp.minimum(c, cw[t] - 1), 0))
+    scratch = [pltpu.VMEM((tn, tn), jnp.float32) for _ in range(H)]
+
+    fwd = pl.pallas_call(
+        functools.partial(_attr_fwd_kernel, **kp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[adj_spec, tile(H), wsT_spec, tile(H), tile(HD),
+                      edge(H), edge(1), edge(1), edge(1)],
+            out_specs=[tile(HD), tile(H), tile(H)],
+            scratch_shapes=scratch,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, HD), jnp.float32),
+            jax.ShapeDtypeStruct((N, H), jnp.float32),
+            jax.ShapeDtypeStruct((N, H), jnp.float32),
+        ],
+        compiler_params=comp,
+        interpret=interpret,
+    )
+    bwd = pl.pallas_call(
+        functools.partial(_attr_bwd_kernel, **kp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[adj_spec, tile(H), wsT_spec, tile(H), tile(HD),
+                      edge(H), edge(1), edge(1), edge(1),
+                      tile(H), tile(H), tile(HD), tile(H)],
+            out_specs=[tile(H), wsT_spec, tile(H), tile(HD),
+                       pl.BlockSpec((1, H * tn, tn),
+                                    lambda t, c, t0, ew, cw: (t, 0, 0))],
+            scratch_shapes=scratch,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H), jnp.float32),
+            jax.ShapeDtypeStruct((8, N), jnp.float32),
+            jax.ShapeDtypeStruct((N, H), jnp.float32),
+            jax.ShapeDtypeStruct((N, HD), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, H * tn, tn), jnp.float32),
+        ],
+        compiler_params=comp,
+        interpret=interpret,
+    )
+    emit = pl.pallas_call(
+        functools.partial(_attr_emit_kernel, **{k: v for k, v in kp.items()
+                                                if k != "D"}),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[pl.BlockSpec((1, H * tn, tn),
+                                   lambda t, c, t0, ew, cw: (t, 0, 0)),
+                      edge(1), edge(1), edge(1)],
+            out_specs=pl.BlockSpec(
+                (1, te, H),
+                lambda t, c, t0, ew, cw: (t * n_chunks + c, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * n_chunks, te, H),
+                                       jnp.float32),
+        compiler_params=comp,
+        interpret=interpret,
+    )
+    return fwd, bwd, emit
+
+
+@functools.lru_cache(maxsize=64)
+def _make_attr_op(N, E, tn, te, n_chunks, H, D, self_loops, slope, dt_name,
+                  interpret):
+    fwd_call, bwd_call, emit_call = _build_attr(
+        N, E, tn, te, n_chunks, H, D, self_loops, slope, dt_name, interpret)
+    HD = H * D
+    f32 = jnp.float32
+
+    def prologue(nf, a2):
+        nf32 = nf.astype(f32)
+        a32 = a2.astype(f32)
+        a_dst, a_src = a32[:, :D], a32[:, D:]
+        wd = jnp.einsum("nhd,hd->nh", nf32, a_dst)
+        ws = jnp.einsum("nhd,hd->nh", nf32, a_src)
+        wsT = jnp.zeros((8, N), f32).at[:H].set(ws.T)
+        return wd, ws, wsT, a_dst, a_src
+
+    def run_fwd(nf, wea, adj, a2, src, dst, emask, t0, ew, cw):
+        wd, ws, wsT, *_ = prologue(nf, a2)
+        src2 = src.reshape(E, 1).astype(jnp.int32)
+        dst2 = dst.reshape(E, 1).astype(jnp.int32)
+        em2 = emask.reshape(E, 1).astype(f32)
+        return fwd_call(t0, ew, cw, adj, wd, wsT, ws, nf.reshape(N, HD),
+                        wea.astype(f32), src2, dst2, em2)
+
+    @jax.custom_vjp
+    def op(nf, wea, adj, a2, src, dst, emask, t0, ew, flat, cw):
+        out, m, den = run_fwd(nf, wea, adj, a2, src, dst, emask, t0, ew, cw)
+        return out.reshape(N, H, D).astype(nf.dtype), m, den
+
+    def op_fwd(nf, wea, adj, a2, src, dst, emask, t0, ew, flat, cw):
+        out, m, den = run_fwd(nf, wea, adj, a2, src, dst, emask, t0, ew, cw)
+        return ((out.reshape(N, H, D).astype(nf.dtype), m, den),
+                (nf, wea, adj, a2, src, dst, emask, t0, ew, flat, cw,
+                 out, m, den))
+
+    def op_bwd(res, gs):
+        g = gs[0]
+        (nf, wea, adj, a2, src, dst, emask, t0, ew, flat, cw,
+         out, m, den) = res
+        wd, ws, wsT, a_dst, a_src = prologue(nf, a2)
+        nf32 = nf.astype(f32)
+        g32 = g.reshape(N, HD).astype(f32)
+        s = jnp.einsum("nhd,nhd->nh", g32.reshape(N, H, D),
+                       out.reshape(N, H, D))
+        src2 = src.reshape(E, 1).astype(jnp.int32)
+        dst2 = dst.reshape(E, 1).astype(jnp.int32)
+        em2 = emask.reshape(E, 1).astype(f32)
+        d_wd, d_wsT, d_wself, d_nf_agg, dz_planes = bwd_call(
+            t0, ew, cw, adj, wd, wsT, ws, nf.reshape(N, HD),
+            wea.astype(f32), src2, dst2, em2, m, den, g32, s)
+        d_wea_tiled = emit_call(t0, ew, cw, dz_planes, src2, dst2, em2)
+        d_wea = d_wea_tiled.reshape(-1, H)[flat] * em2
+        d_ws = jnp.transpose(d_wsT)[:, :H]
+        if self_loops:
+            d_wd = d_wd + d_wself
+            d_ws = d_ws + d_wself
+        d_nf = (d_nf_agg
+                + jnp.einsum("nh,hd->nhd", d_wd, a_dst).reshape(N, HD)
+                + jnp.einsum("nh,hd->nhd", d_ws, a_src).reshape(N, HD))
+        d_a = jnp.concatenate([
+            jnp.einsum("nh,nhd->hd", d_wd, nf32),
+            jnp.einsum("nh,nhd->hd", d_ws, nf32),
+        ], axis=-1)
+        return (d_nf.reshape(N, H, D).astype(nf.dtype),
+                d_wea.astype(wea.dtype), jnp.zeros_like(adj),
+                d_a.astype(a2.dtype), None, None, jnp.zeros_like(emask),
+                None, None, None, None)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def dense_attr_gat_pass(
+    node_feats_h: jnp.ndarray,   # (N, H, D)
+    edge_attr: jnp.ndarray,      # (E, Da) dynamic per-edge attrs
+    src: jnp.ndarray,            # (E,) i32
+    dst: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    attn_vec: jnp.ndarray,       # (H, 2D + Da) — [dst | ea | src]
+    adj_planes: jnp.ndarray,     # (N//tn, tn, tn) f32 adjacency
+    meta,                        # ops.tcsr.TileMeta (edge windows reused)
+    self_loops: bool = False,
+    negative_slope: float = 0.2,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense-tile GAT pass for DYNAMIC edge attrs (atom / frag levels,
+    gat2.py:178-224 / 283-316). The per-edge logit term w_ea = ea @ a_ea^T
+    is computed in XLA (autodiff reaches ea and a_ea through it); the
+    kernel scatters the (Te, H) blocks into per-head dense planes over the
+    TileMeta edge windows and runs dense masked attention per tile.
+    Self-loops are folded analytically (zero edge attrs, gat2.py:179-185)."""
+    N, H, D = node_feats_h.shape
+    E = src.shape[0]
+    Da = edge_attr.shape[-1]
+    tn = adj_planes.shape[2]
+    if interpret is None:
+        interpret = INTERPRET or jax.default_backend() != "tpu"
+    f32 = jnp.float32
+    a_ea = attn_vec[:, D:D + Da].astype(f32)
+    wea = edge_attr.astype(f32) @ a_ea.T                   # (E, H), diff
+    a2 = jnp.concatenate([attn_vec[:, :D], attn_vec[:, D + Da:]], axis=-1)
+    op = _make_attr_op(N, E, tn, meta.te, meta.n_chunks, H, D,
+                       bool(self_loops), float(negative_slope),
+                       str(node_feats_h.dtype), bool(interpret))
+    out, m, den = op(node_feats_h, wea, adj_planes, a2, src, dst, edge_mask,
+                     jnp.zeros((1,), jnp.int32), jnp.asarray(meta.ew_blk),
+                     jnp.asarray(meta.flat_slot), jnp.asarray(meta.cw))
+
+    # ---- attention epilogue (gat2.py:165-167 semantics; stop-grad) --------
+    sg = jax.lax.stop_gradient
+    nf32 = sg(node_feats_h).astype(f32)
+    a32 = sg(attn_vec).astype(f32)
+    a_dst_s, a_ea_s, a_src_s = a32[:, :D], a32[:, D:D + Da], a32[:, D + Da:]
+    w_dst = jnp.einsum("nhd,hd->nh", nf32, a_dst_s)
+    w_src = jnp.einsum("nhd,hd->nh", nf32, a_src_s)
+    w_ea_s = sg(edge_attr).astype(f32) @ a_ea_s.T
+    m_s = sg(m)
+    den_s = jnp.where(sg(den) == 0.0, 1.0, sg(den))
+    z = _leaky(w_dst[dst] + w_src[src] + w_ea_s, negative_slope)
+    expo = jnp.where(sg(edge_mask).astype(f32)[:, None] > 0,
+                     z - m_s[dst], -jnp.inf)
+    p = jnp.exp(expo) / den_s[dst]
+    attn = jax.ops.segment_sum(p, src, num_segments=N)
+    if self_loops:
+        z_self = _leaky(w_dst + w_src, negative_slope)
+        attn = attn + jnp.exp(z_self - m_s) / den_s
+    return out, attn
 
 
 # --------------------------------------------------------------------------

@@ -198,3 +198,91 @@ class TestAlignedPacking:
         for la, lx in zip(g_a, g_x):
             np.testing.assert_allclose(np.asarray(la), np.asarray(lx),
                                        atol=5e-3, rtol=5e-3)
+
+
+class TestDenseAttrKernel:
+    """Dynamic-edge-attr dense kernel (atom/frag levels): in-kernel scatter
+    of edge-space w_ea into per-head planes over the TileMeta edge windows,
+    dense masked attention, analytic self-loops."""
+
+    def _setup(self, seed=0):
+        from fragnet_tpu.ops.tcsr import build_tile_meta
+
+        rng = np.random.default_rng(seed)
+        tn, n_tiles, H, D, Da, te = 16, 3, 4, 8, 12, 16
+        N = tn * n_tiles
+        src_l, dst_l = [], []
+        for t in range(n_tiles):
+            seen = set()
+            for _ in range(int(rng.integers(12, 40))):
+                i, j = rng.integers(0, tn, 2)
+                if (i, j) in seen:
+                    continue
+                seen.add((i, j))
+                src_l.append(t * tn + j)
+                dst_l.append(t * tn + i)
+        order = np.argsort(dst_l, kind="stable")
+        E = 160
+        src = np.zeros(E, np.int32)
+        dst = np.zeros(E, np.int32)
+        mask = np.zeros(E, np.float32)
+        src[: len(order)] = np.array(src_l)[order]
+        dst[: len(order)] = np.array(dst_l)[order]
+        mask[: len(order)] = 1.0
+        meta = build_tile_meta(src, dst, mask, N, tn=tn, te=te)
+        adj = build_dense_planes(src, dst, mask, np.zeros((E, 0), np.float32),
+                                 N, tn=tn)
+        assert meta is not None and adj is not None
+        nf = jnp.asarray(rng.standard_normal((N, H, D)), jnp.float32)
+        ea = jnp.asarray(rng.standard_normal((E, Da)), jnp.float32)
+        a = jnp.asarray(rng.standard_normal((H, 2 * D + Da)), jnp.float32)
+        return N, E, H, D, Da, src, dst, mask, meta, adj, nf, ea, a
+
+    @pytest.mark.parametrize("self_loops", [False, True])
+    def test_forward_and_grads(self, self_loops):
+        from fragnet_tpu.ops.dense_gat import dense_attr_gat_pass
+
+        (N, E, H, D, Da, src, dst, mask, meta, adj, nf, ea, a) = self._setup()
+
+        def ref_pass(nf, ea, a):
+            if self_loops:
+                sl = jnp.arange(N, dtype=jnp.int32)
+                src_x = jnp.concatenate([jnp.asarray(src), sl])
+                dst_x = jnp.concatenate([jnp.asarray(dst), sl])
+                ea_x = jnp.concatenate([ea, jnp.zeros((N, Da))], axis=0)
+                mask_x = jnp.concatenate([jnp.asarray(mask), jnp.ones((N,))])
+                ea_h = jnp.broadcast_to(ea_x[:, None, :], (E + N, H, Da))
+                return gat_attention_pass(nf, ea_h, src_x, dst_x, a, N,
+                                          edge_mask=mask_x)
+            ea_h = jnp.broadcast_to(ea[:, None, :], (E, H, Da))
+            return gat_attention_pass(nf, ea_h, src, dst, a, N,
+                                      edge_mask=jnp.asarray(mask))
+
+        out_ref, attn_ref = ref_pass(nf, ea, a)
+        out_d, attn_d = dense_attr_gat_pass(
+            nf, ea, src, dst, jnp.asarray(mask), a, jnp.asarray(adj), meta,
+            self_loops=self_loops)
+        np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_ref),
+                                   atol=3e-5, rtol=3e-4)
+        np.testing.assert_allclose(np.asarray(attn_d), np.asarray(attn_ref),
+                                   atol=3e-5, rtol=3e-4)
+
+        g_ref = jax.grad(lambda *xs: jnp.sum(jnp.sin(ref_pass(*xs)[0])),
+                         argnums=(0, 1, 2))(nf, ea, a)
+        g_d = jax.grad(
+            lambda nf, ea, a: jnp.sum(jnp.sin(dense_attr_gat_pass(
+                nf, ea, src, dst, jnp.asarray(mask), a, jnp.asarray(adj),
+                meta, self_loops=self_loops)[0])),
+            argnums=(0, 1, 2))(nf, ea, a)
+        for gr, gd in zip(g_ref, g_d):
+            np.testing.assert_allclose(np.asarray(gd), np.asarray(gr),
+                                       atol=1e-4, rtol=1e-3)
+
+    def test_builder_rejects_duplicate_frag_connections(self):
+        # two fconn entries between the same fragment pair → dense disabled
+        src = np.array([1, 1], np.int32)
+        dst = np.array([2, 2], np.int32)
+        mask = np.ones((2,), np.float32)
+        assert build_dense_planes(src, dst, mask,
+                                  np.zeros((2, 0), np.float32),
+                                  16, tn=16) is None
