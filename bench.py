@@ -316,7 +316,8 @@ def _roofline(jax, jnp, model, params, batch, num_layers):
 
     import numpy as _np
 
-    from fragnet_tpu.ops.dense_gat import dense_gat_pass
+    from fragnet_tpu.ops.dense_gat import (dense_attr_gat_pass,
+                                           dense_gat_pass)
     from fragnet_tpu.ops.pallas_gat import pallas_gat_pass
 
     H = model.num_heads
@@ -328,12 +329,14 @@ def _roofline(jax, jnp, model, params, batch, num_layers):
                  batch.bg_mask, batch.tm_bond, D, False,
                  getattr(batch, "dp_bond", None)),
         "atom": (batch.x_atoms.shape[0], batch.edge_src, batch.edge_dst,
-                 batch.edge_mask, batch.tm_atom, emb, True, None),
+                 batch.edge_mask, batch.tm_atom, emb, True,
+                 getattr(batch, "dp_atom", None)),
         "fconn": (batch.nf_fbonds.shape[0], batch.fc_src, batch.fc_dst,
                   batch.fc_mask, batch.tm_fc, D, False,
                   getattr(batch, "dp_fc", None)),
         "frag": (batch.x_frags.shape[0], batch.frag_src, batch.frag_dst,
-                 batch.fconn_mask, batch.tm_frag, emb, False, None),
+                 batch.fconn_mask, batch.tm_frag, emb, False,
+                 getattr(batch, "dp_frag", None)),
     }
     rng = _np.random.default_rng(0)
     rep = int(os.environ.get("BENCH_ROOFLINE_STEPS", 50))
@@ -351,20 +354,34 @@ def _roofline(jax, jnp, model, params, batch, num_layers):
         peak_f = _V5E_TFLOPS.get(str(model.dtype), 197e12)
 
         if dp is not None:
-            # dense zero-gather kernel (ops/dense_gat.py): the whole level is
-            # one grid step per tile; executed MXU flops = H per-head
-            # (Tn,Tn)x(Tn,D) aggregations, bytes = planes + node tiles
+            # dense zero-gather kernels (ops/dense_gat.py)
             R = dp.shape[1] // dp.shape[2] - 1
             tn = dp.shape[2]
             n_tiles = dp.shape[0]
-            v = jnp.asarray(rng.standard_normal((R, H)), jnp.float32) * 0.1
-            c = jnp.asarray(rng.standard_normal((H,)), jnp.float32) * 0.1
-            fn = jax.jit(lambda nf_, ea_: dense_gat_pass(
-                nf_, jnp.asarray(dp), v, c, ea_, src, dst, mask, a)[0])
-            exec_flops = n_tiles * H * 2 * tn * tn * D
-            exec_bytes = n_tiles * ((R + 1) * tn * tn * 4
-                                    + tn * HD * (dtb + 4) + 4 * tn * H * 4)
-            grid = [n_tiles, 1]
+            if R == 0:
+                # dynamic-attr variant: per-chunk in-kernel w_ea scatter
+                # (H one-hot matmuls) + dense attention on the last chunk
+                nc = meta.n_chunks
+                te = meta.te
+                fn = jax.jit(lambda nf_, ea_: dense_attr_gat_pass(
+                    nf_, ea_, src, dst, mask, a, jnp.asarray(dp), meta,
+                    self_loops=self_loops)[0])
+                exec_flops = n_tiles * (nc * H * 2 * tn * tn * te
+                                        + H * 2 * tn * tn * D)
+                exec_bytes = n_tiles * (tn * tn * 4 + tn * HD * (dtb + 4)
+                                        + nc * te * (4 * H + 12))
+                grid = [n_tiles, nc]
+            else:
+                v = jnp.asarray(rng.standard_normal((R, H)),
+                                jnp.float32) * 0.1
+                c = jnp.asarray(rng.standard_normal((H,)), jnp.float32) * 0.1
+                fn = jax.jit(lambda nf_, ea_: dense_gat_pass(
+                    nf_, jnp.asarray(dp), v, c, ea_, src, dst, mask, a)[0])
+                exec_flops = n_tiles * H * 2 * tn * tn * D
+                exec_bytes = n_tiles * ((R + 1) * tn * tn * 4
+                                        + tn * HD * (dtb + 4)
+                                        + 4 * tn * H * 4)
+                grid = [n_tiles, 1]
             k = 1
         else:
             fn = jax.jit(lambda nf_, ea_: pallas_gat_pass(
