@@ -79,9 +79,27 @@ def main() -> None:
     # distribution (data/synthetic.py:_SIZE_PROFILES); default keeps the
     # legacy generator so vs_baseline stays comparable across rounds
     profile = os.environ.get("BENCH_PROFILE") or None
-    df = synthetic_dataset(n=n_mols, task="regression", seed=7,
-                           profile=profile)
-    graphs = build_graphs(list(df["smiles"]), [[v] for v in df["y"]])
+    # featurization cache: the same synthetic set is deterministic per
+    # (n_mols, profile); skipping the 3-4 min rebuild lets bench finish
+    # within short windows of TPU availability
+    gcache = f"/tmp/bench_graphs_{n_mols}_{profile or 'default'}.pkl"
+    graphs = None
+    if os.path.exists(gcache):
+        import pickle
+
+        try:
+            with open(gcache, "rb") as f:
+                graphs = pickle.load(f)
+        except Exception:
+            graphs = None
+    if graphs is None:
+        df = synthetic_dataset(n=n_mols, task="regression", seed=7,
+                               profile=profile)
+        graphs = build_graphs(list(df["smiles"]), [[v] for v in df["y"]])
+        import pickle
+
+        with open(gcache, "wb") as f:
+            pickle.dump(graphs, f)
     spec = spec_for(graphs, batch_size=batch_size, tcsr=use_pallas)
 
     model = FragNetFineTune(num_layer=num_layers, num_heads=4, emb_dim=128,
