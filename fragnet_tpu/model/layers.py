@@ -32,6 +32,13 @@ from fragnet_tpu.ops.dense_gat import dense_attr_gat_pass, dense_gat_pass
 # kill switch for the dynamic-attr dense kernels (atom/frag levels) — lets
 # bench compare against the TCSR k=1 path without rebuilding batches
 _DENSE_ATTR = _os.environ.get("FRAGNET_DENSE_ATTR", "1") == "1"
+# bond/fconn dense strategy: "planes" = host-precomputed (R+1)-plane kernel
+# (dense_gat_pass), "attr" = adjacency-only kernel with in-kernel edge-attr
+# scatter (dense_attr_gat_pass). Measured v5e: attr wins for fconn (the
+# 7-plane f32 DMA made the planes kernel slower than TCSR); planes wins for
+# bond (1 value plane, no per-chunk matmuls).
+_DENSE_BOND_MODE = _os.environ.get("FRAGNET_DENSE_BOND", "planes")
+_DENSE_FC_MODE = _os.environ.get("FRAGNET_DENSE_FC", "attr")
 from fragnet_tpu.ops.ell import ell_gat_pass
 from fragnet_tpu.ops.pallas_gat import pallas_gat_pass, pallas_gat_pass_ep
 from fragnet_tpu.ops.tcsr import EPTileMeta, TileMeta
@@ -142,7 +149,17 @@ class FragNetLayer(nn.Module):
                         name="projection_b")(nf_bonds)
         nf_b = nf_b.reshape(E, H, edge_out_ph)
         a_b = self.param("a_b", xavier_gain, (H, 3 * edge_out_ph))
-        if self.ep_axis is None and batch.dp_bond is not None:
+        if self.ep_axis is None and batch.dp_bond is not None \
+                and _DENSE_BOND_MODE == "attr" \
+                and isinstance(batch.tm_bond, TileMeta):
+            # adjacency-only dense kernel; w_ea scattered in-kernel
+            tn_b = batch.dp_bond.shape[2]
+            bond_out, attn_bonds = dense_attr_gat_pass(
+                nf_b, ea_b, batch.bg_src, batch.bg_dst, batch.bg_mask,
+                a_b, jax.lax.slice_in_dim(batch.dp_bond, 0, tn_b, axis=1),
+                batch.tm_bond,
+            )
+        elif self.ep_axis is None and batch.dp_bond is not None:
             # dense zero-gather kernel (ops/dense_gat.py): the raw bond-graph
             # edge attr is the 1-dim cos-angle, so the embed Dense + a_ea
             # fold to (v, c) — basis-applied through the SAME module so
@@ -292,7 +309,16 @@ class FragNetLayer(nn.Module):
                          name="projection_fb")(nf_fbonds)
         nf_fb = nf_fb.reshape(C, H, edge_out_ph)
         f_a_b = self.param("f_a_b", xavier_gain, (H, 3 * edge_out_ph))
-        if self.ep_axis is None and batch.dp_fc is not None:
+        if self.ep_axis is None and batch.dp_fc is not None \
+                and _DENSE_FC_MODE == "attr" \
+                and isinstance(batch.tm_fc, TileMeta):
+            tn_f = batch.dp_fc.shape[2]
+            fbond_out, attn_fbonds = dense_attr_gat_pass(
+                nf_fb, ea_fb, batch.fc_src, batch.fc_dst, batch.fc_mask,
+                f_a_b, jax.lax.slice_in_dim(batch.dp_fc, 0, tn_f, axis=1),
+                batch.tm_fc,
+            )
+        elif self.ep_axis is None and batch.dp_fc is not None:
             # dense zero-gather kernel: raw fconn attrs are the 6-dim
             # connection one-hot sums → rank-6 (v, c) fold
             Rf = batch.ea_fbonds.shape[1]

@@ -370,7 +370,9 @@ def _build_attr(N, E, tn, te, n_chunks, H, D, self_loops, slope, dt_name,
     kp = dict(tn=tn, te=te, n_chunks=n_chunks, H=H, D=D,
               self_loops=self_loops, slope=slope, big_prec=big_prec)
     comp = pltpu.CompilerParams(
-        dimension_semantics=("arbitrary", "arbitrary"))
+        # tiles are independent (scratch resets at c == 0, outputs are
+        # per-tile blocks) — the tile dim is parallel; chunks are sequential
+        dimension_semantics=("parallel", "arbitrary"))
 
     adj_spec = pl.BlockSpec((1, tn, tn), lambda t, c, t0, ew, cw: (t, 0, 0))
     tile = lambda w: pl.BlockSpec((tn, w), lambda t, c, t0, ew, cw: (t, 0))
@@ -582,7 +584,8 @@ def _build(N, tn, H, D, R, slope, dt_name, interpret):
     HD = H * D
     n_tiles = N // tn
     kp = dict(tn=tn, H=H, D=D, R=R, slope=slope, big_prec=big_prec)
-    comp = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+    # every grid step is one independent tile — fully parallel
+    comp = pltpu.CompilerParams(dimension_semantics=("parallel",))
 
     planes_spec = pl.BlockSpec((1, (R + 1) * tn, tn), lambda t: (t, 0, 0))
     tile = lambda w: pl.BlockSpec((tn, w), lambda t: (t, 0))

@@ -371,7 +371,12 @@ def _build(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
     grid = (n_tiles, n_chunks)
     kparams = dict(tn=tn, te=te, k=k, n_chunks=n_chunks, H=H, D=D, Da=Da,
                    self_loops=self_loops, slope=slope, big_prec=big_prec)
+    # fwd: tiles independent (scratch resets at c == 0) → tile dim parallel.
+    # bwd: acc_dasrc accumulates ACROSS tiles (written at the last t) →
+    # both dims stay sequential there.
     comp = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
+    comp_bwd = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"))
 
     in_specs = (
@@ -448,7 +453,7 @@ def _build(N, E, H, D, Da, tn, te, k, n_chunks, self_loops, slope, dt_name,
             jax.ShapeDtypeStruct((n_tiles, k * tn, HD), jnp.float32),
             jax.ShapeDtypeStruct((8, max(H * D, 128)), jnp.float32),
         ],
-        compiler_params=comp,
+        compiler_params=comp_bwd,
         interpret=interpret,
     )
     return fwd, bwd
