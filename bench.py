@@ -213,13 +213,30 @@ def main() -> None:
     # packing serializes with device compute (the r3 pipeline regression);
     # BENCH_PIPE_MODE=thread measures the old path for comparison
     pipe_proc = os.environ.get("BENCH_PIPE_MODE", "process") == "process"
+    pipe_workers = int(os.environ.get("BENCH_PIPE_WORKERS", 2))
     pipe_err = None
-    t0 = time.perf_counter()
     try:
-        for b in ploader.stream(n_epochs, depth=4, process=pipe_proc):
+        # steady-state timing: the spawned workers cost ~10-20 s of one-time
+        # import before the first buffer arrives (irrelevant over an hours-
+        # long pretrain); start the clock at the FIRST yielded batch
+        stream = ploader.stream(n_epochs + 1, depth=6, process=pipe_proc,
+                                workers=pipe_workers if pipe_proc else 1)
+        warm = 1 + len(device_batches)  # worker startup + first epoch warm
+        for _ in range(warm):
+            b = next(stream, None)
+            if b is None:
+                break
             state, loss = pstep(state, b, rng)
         _ = float(loss)
-        pipeline_eps = epoch_edges * n_epochs / (time.perf_counter() - t0)
+        n_run = 0
+        t0 = time.perf_counter()
+        for b in stream:
+            state, loss = pstep(state, b, rng)
+            n_run += 1
+        _ = float(loss)
+        pipeline_eps = (epoch_edges * n_run
+                        / max(1, len(device_batches))
+                        / (time.perf_counter() - t0))
     except Exception as e:  # a dead pack worker must not kill the bench
         pipe_err = f"{type(e).__name__}: {e}"
         pipeline_eps = 0.0

@@ -70,7 +70,10 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[HierGraphBatch]:
+    def _windows(self) -> Iterator[List[MolGraph]]:
+        """One epoch of greedy molecule windows (advances the shuffle
+        state). Deterministic given (seed, epoch) — the multi-worker packed
+        stream relies on every worker producing the identical sequence."""
         order = np.arange(len(self.graphs))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
@@ -80,6 +83,16 @@ class BatchLoader:
         _FIT_KEYS = ("n_atoms", "n_edges", "n_frags", "n_fconn",
                      "n_bg_edges", "n_fc_edges")
         caps = tuple(getattr(self.spec, k) for k in _FIT_KEYS)
+        aligned = self.spec.align
+        tn = self.spec.tn
+
+        def bump(pos: int, cnt: int, node_level: bool) -> int:
+            # aligned packing: a molecule that would straddle a tn boundary
+            # starts at the next tile (mirrors hiergraph._aligned_starts)
+            if aligned and node_level and cnt <= tn \
+                    and (pos % tn) + cnt > tn:
+                pos = ((pos + tn - 1) // tn) * tn
+            return pos + cnt
 
         i = 0
         while i < len(order):
@@ -88,11 +101,15 @@ class BatchLoader:
             while i < len(order) and len(window) < self.batch_size:
                 cand = self.graphs[order[i]]
                 sizes = tuple(getattr(cand, k) for k in _FIT_KEYS)
-                # incremental capacity check (an O(B²) re-sum of the window
-                # per candidate dominated batch prep before)
-                if window and any(t + s > c for t, s, c
-                                  in zip(totals, sizes, caps)):
-                    break
+                # incremental capacity check in ALIGNED positions (the first
+                # four keys are node levels subject to tile alignment); an
+                # O(B²) re-sum of the window per candidate dominated batch
+                # prep before
+                if window:
+                    newpos = [bump(t, s, j < 4)
+                              for j, (t, s) in enumerate(zip(totals, sizes))]
+                    if any(p > c for p, c in zip(newpos, caps)):
+                        break
                 if not window and not fits([cand], self.spec):
                     if self.on_oversize == "error":
                         raise ValueError(
@@ -106,12 +123,18 @@ class BatchLoader:
                     i += 1
                     continue
                 window.append(cand)
-                totals = [t + s for t, s in zip(totals, sizes)]
+                totals = [bump(t, s, j < 4)
+                          for j, (t, s) in enumerate(zip(totals, sizes))]
                 i += 1
             if not window:
                 continue
-            if self.drop_last and len(window) < self.batch_size and i >= len(order):
+            if self.drop_last and len(window) < self.batch_size \
+                    and i >= len(order):
                 break
+            yield window
+
+    def __iter__(self) -> Iterator[HierGraphBatch]:
+        for window in self._windows():
             batch = pad_batch(window, self.spec, n_tasks=self.n_tasks,
                               with_targets=self.with_targets)
             if self.pack:
@@ -130,6 +153,24 @@ class BatchLoader:
                     lambda x: jax.device_put(x) if x is not None else None, batch
                 )
             yield batch
+
+    def _iter_packed_indexed(self, n_epochs: int, worker_id: int,
+                             n_workers: int):
+        """(global_index, packed bytes) for every batch assigned to this
+        worker over ``n_epochs`` epochs. Every worker walks the IDENTICAL
+        deterministic window sequence (cheap greedy sums) and pays
+        pad+pack only for its own stride — the multi-process pack path."""
+        assert self.pack and self.layout is not None
+        from fragnet_tpu.data.packing import pack_batch
+
+        idx = 0
+        for _ in range(n_epochs):
+            for window in self._windows():
+                if idx % n_workers == worker_id:
+                    b = pad_batch(window, self.spec, n_tasks=self.n_tasks,
+                                  with_targets=self.with_targets)
+                    yield (idx, pack_batch(b, self.layout).tobytes())
+                idx += 1
 
     def prefetch(self, depth: int = 2) -> Iterator[HierGraphBatch]:
         """Iterate with batches produced by a background thread into a
@@ -161,17 +202,24 @@ class BatchLoader:
             yield item
 
     def stream(self, n_epochs: int, depth: int = 3,
-               process: bool = False) -> Iterator[HierGraphBatch]:
+               process: bool = False,
+               workers: int = 1) -> Iterator[HierGraphBatch]:
         """``n_epochs`` epochs as ONE continuous background-producer stream —
         no pipeline drain at epoch boundaries (each epoch reshuffles when
         ``shuffle``). The pretraining shape: epochs are long, batches flow
         back-to-back.
 
-        ``process=True`` (requires ``pack``) pads+packs in a forked worker
-        PROCESS: on the tunneled backend the client needs the GIL to pump
+        ``process=True`` (requires ``pack``) pads+packs in worker
+        PROCESSES: on the tunneled backend the client needs the GIL to pump
         async dispatch, so GIL-heavy numpy packing in a thread serializes
-        with device compute — a separate process restores full overlap. The
-        worker never touches JAX; the parent does the device_put."""
+        with device compute — separate processes restore full overlap. The
+        workers never touch JAX; the parent does the device_put.
+
+        ``workers`` > 1 shards batches round-robin over that many pack
+        processes (each walks the same deterministic shuffle and packs every
+        k-th batch); the parent re-orders by global batch index. Host
+        padding+packing is the pipeline ceiling once the device step is
+        fast — size ``workers`` to host cores."""
         if not process:
             import queue as _queue
             import threading
@@ -207,10 +255,11 @@ class BatchLoader:
 
         # spawn, not fork: the parent has live JAX threads (and, on this
         # pod, an active device tunnel) — fork() under them deadlocks or
-        # degrades; the spawned worker re-imports numpy-only code paths and
-        # receives the loader by pickle
+        # degrades; the spawned workers re-import numpy-only code paths and
+        # receive the loader by pickle
         ctx = mp.get_context("spawn")
-        q = ctx.Queue(maxsize=depth)
+        workers = max(1, int(workers))
+        q = ctx.Queue(maxsize=max(depth, 2 * workers))
         host = BatchLoader(
             self.graphs, self.batch_size, spec=self.spec, shuffle=self.shuffle,
             seed=self.seed, n_tasks=self.n_tasks,
@@ -221,39 +270,61 @@ class BatchLoader:
         host.layout = self.layout
         host._epoch = self._epoch
 
-        proc = ctx.Process(target=_pack_worker, args=(host, q, n_epochs),
-                           daemon=True)
-        proc.start()
+        procs = [
+            ctx.Process(target=_pack_worker,
+                        args=(host, q, n_epochs, w, workers), daemon=True)
+            for w in range(workers)
+        ]
+        for p in procs:
+            p.start()
         try:
-            while True:
+            import queue as _queue
+
+            pending: dict = {}
+            next_idx = 0
+            done_workers = 0
+            while done_workers < workers:
+                while next_idx in pending:
+                    buf = pending.pop(next_idx)
+                    next_idx += 1
+                    yield jax.device_put(buf) if self.to_device else buf
                 # bounded wait: a dead/stuck worker must surface as an error,
                 # not an indefinite q.get() hang in the training loop
-                import queue as _queue
-
                 try:
-                    item = q.get(timeout=180)
+                    item = q.get(timeout=300)
                 except _queue.Empty:
+                    alive = sum(p.is_alive() for p in procs)
                     raise RuntimeError(
-                        "pack worker produced nothing for 180s "
-                        f"(alive={proc.is_alive()})")
+                        f"pack workers produced nothing for 300s "
+                        f"(alive={alive}/{workers})")
                 if item is None:
-                    return
+                    done_workers += 1
+                    continue
                 if isinstance(item, str):  # worker traceback
                     raise RuntimeError(f"pack worker failed:\n{item}")
-                buf = np.frombuffer(item, np.uint8)
+                idx, raw = item
+                pending[idx] = np.frombuffer(raw, np.uint8)
+            while next_idx in pending:
+                buf = pending.pop(next_idx)
+                next_idx += 1
                 yield jax.device_put(buf) if self.to_device else buf
         finally:
-            proc.join(timeout=5)
-            if proc.is_alive():
-                proc.terminate()
+            for p in procs:
+                p.join(timeout=5)
+                if p.is_alive():
+                    p.terminate()
 
 
-def _pack_worker(loader: "BatchLoader", q, n_epochs: int) -> None:
-    """Forked packing worker — numpy only, never touches JAX."""
+def _pack_worker(loader: "BatchLoader", q, n_epochs: int,
+                 worker_id: int = 0, n_workers: int = 1) -> None:
+    """Spawned packing worker — numpy only, never touches JAX. Walks the
+    same deterministic shuffle as every other worker, pads+packs every
+    ``n_workers``-th batch, and tags each with its global index so the
+    parent can restore order."""
     try:
-        for _ in range(n_epochs):
-            for buf in loader:
-                q.put(buf.tobytes())
+        for item in loader._iter_packed_indexed(n_epochs, worker_id,
+                                                n_workers):
+            q.put(item)
         q.put(None)
     except BaseException:
         import traceback

@@ -157,3 +157,23 @@ class TestPackedPretrainStep:
             s2, l2 = step_packed(s2, buf, rng)
             np.testing.assert_allclose(float(l1), float(l2),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestProcessStream:
+    def test_multiworker_order_and_content(self, ft_graphs):
+        """Spawned multi-worker packed stream must reproduce the thread-mode
+        buffer sequence exactly (deterministic shuffle walk + reorder)."""
+        spec = _spec(ft_graphs)
+        mk = lambda: BatchLoader(ft_graphs, 4, spec=spec, shuffle=True,
+                                 seed=0, pack=True, to_device=False,
+                                 compute_dtype=jnp.float32)
+        base = mk()
+        next(iter(base))
+        ref_l = mk(); ref_l.layout = base.layout
+        ref = [np.asarray(b) for b in ref_l.stream(2, process=False)]
+        got_l = mk(); got_l.layout = base.layout
+        got = [np.asarray(b) for b in got_l.stream(2, process=True,
+                                                   workers=2)]
+        assert len(got) == len(ref)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
