@@ -29,14 +29,17 @@ import os as _os
 
 from fragnet_tpu.ops.dense_gat import dense_attr_gat_pass, dense_gat_pass
 
-# kill switch for the dynamic-attr dense kernels (atom/frag levels) — lets
-# bench compare against the TCSR k=1 path without rebuilding batches
-_DENSE_ATTR = _os.environ.get("FRAGNET_DENSE_ATTR", "1") == "1"
-# bond/fconn dense strategy: "planes" = host-precomputed (R+1)-plane kernel
-# (dense_gat_pass), "attr" = adjacency-only kernel with in-kernel edge-attr
-# scatter (dense_attr_gat_pass). Measured v5e: attr wins for fconn (the
-# 7-plane f32 DMA made the planes kernel slower than TCSR); planes wins for
-# bond (1 value plane, no per-chunk matmuls).
+# Dense-kernel strategy knobs, defaults = the measured v5e optimum
+# (BASELINE.md r4 experiment log):
+#  * atom/frag (dynamic edge attrs): TCSR k_src=1 beats the dense-attr
+#    kernel through the train step (47.2M vs 42.1M edges/s — the attr
+#    backward needs a re-accumulate + a separate emit kernel), so
+#    FRAGNET_DENSE_ATTR defaults OFF; the kernel stays available.
+#  * bond: host-precomputed value planes ("planes"); the "attr" mode HUNG
+#    on-device at bond-level shapes — do not enable it there.
+#  * fconn: "attr" vs "planes" within noise after the parallel-semantics
+#    fix; attr kept (smaller planes to build/ship).
+_DENSE_ATTR = _os.environ.get("FRAGNET_DENSE_ATTR", "0") == "1"
 _DENSE_BOND_MODE = _os.environ.get("FRAGNET_DENSE_BOND", "planes")
 _DENSE_FC_MODE = _os.environ.get("FRAGNET_DENSE_FC", "attr")
 from fragnet_tpu.ops.ell import ell_gat_pass
