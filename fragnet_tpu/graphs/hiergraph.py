@@ -302,9 +302,24 @@ def _pin_tcsr(spec: PadSpec, graphs: Sequence, batch_size: int,
             maxes[name][0] = max(maxes[name][0], tm.n_chunks)
             maxes[name][1] = max(maxes[name][1], tm.k_src)
 
+    # molecules larger than tn nodes at a level cannot be tile-aligned:
+    # their edges straddle tiles, so the source window needs one more tile
+    # and the chunk window can widen beyond what the probes saw — bump the
+    # pins so every shuffle-order batch stays inside them (a too-narrow pin
+    # makes build_tile_meta return None mid-stream, which breaks the packed
+    # transport's single-compilation contract)
+    over = {
+        "atom": any(g.n_atoms > spec.tn for g in graphs),
+        "bond": any(g.n_edges > spec.tn for g in graphs),
+        "frag": any(g.n_frags > spec.tn for g in graphs),
+        "fc": any(g.n_fconn > spec.tn for g in graphs),
+    }
+
     def pin(name, n_nodes, n_edges):
-        c = min(maxes[name][0] + 1, n_edges // spec.te)
-        k = min(maxes[name][1], n_nodes // spec.tn)
+        slack_c = 3 if (spec.align and over[name]) else 1
+        slack_k = 1 if (spec.align and over[name]) else 0
+        c = min(maxes[name][0] + slack_c, n_edges // spec.te)
+        k = min(maxes[name][1] + slack_k, n_nodes // spec.tn)
         return (c, k)
 
     return dataclasses.replace(
