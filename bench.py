@@ -213,7 +213,9 @@ def main() -> None:
     # packing serializes with device compute (the r3 pipeline regression);
     # BENCH_PIPE_MODE=thread measures the old path for comparison
     pipe_proc = os.environ.get("BENCH_PIPE_MODE", "process") == "process"
-    pipe_workers = int(os.environ.get("BENCH_PIPE_WORKERS", 2))
+    # pack workers scale the host side ~linearly (w1 7.0M / w2 9.4M /
+    # w3 14.8M edges/s measured on this 2-vCPU host); size to host cores
+    pipe_workers = int(os.environ.get("BENCH_PIPE_WORKERS", 3))
     pipe_err = None
     try:
         # steady-state timing: the spawned workers cost ~10-20 s of one-time

@@ -37,11 +37,11 @@ from fragnet_tpu.ops.dense_gat import dense_attr_gat_pass, dense_gat_pass
 #    FRAGNET_DENSE_ATTR defaults OFF; the kernel stays available.
 #  * bond: host-precomputed value planes ("planes"); the "attr" mode HUNG
 #    on-device at bond-level shapes — do not enable it there.
-#  * fconn: "attr" vs "planes" within noise after the parallel-semantics
-#    fix; attr kept (smaller planes to build/ship).
+#  * fconn: "planes" measured 49.3M vs "attr" 47.8M through the train step
+#    once the parallel tile-dim semantics fixed the 7-plane DMA pathology.
 _DENSE_ATTR = _os.environ.get("FRAGNET_DENSE_ATTR", "0") == "1"
 _DENSE_BOND_MODE = _os.environ.get("FRAGNET_DENSE_BOND", "planes")
-_DENSE_FC_MODE = _os.environ.get("FRAGNET_DENSE_FC", "attr")
+_DENSE_FC_MODE = _os.environ.get("FRAGNET_DENSE_FC", "planes")
 from fragnet_tpu.ops.ell import ell_gat_pass
 from fragnet_tpu.ops.pallas_gat import pallas_gat_pass, pallas_gat_pass_ep
 from fragnet_tpu.ops.tcsr import EPTileMeta, TileMeta
