@@ -298,7 +298,7 @@ def main() -> None:
                 _ = float(l2)
                 sweep[str(bs2)] = round(tot / (time.perf_counter() - t0), 1)
             except Exception as e:  # sweep is diagnostic, never fatal
-                sweep[str(bs2)] = f"failed: {type(e).__name__}"
+                sweep[str(bs2)] = f"failed: {type(e).__name__}: {str(e)[:200]}"
 
     baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
