@@ -284,7 +284,10 @@ def main() -> None:
                 dbs2 = [jax.tree.map(jax.device_put, b) for b in loader2]
                 if not dbs2:
                     continue
-                st2 = TrainState.create(params, tx)
+                # fresh param copies: the main loop's donated step has
+                # already consumed the original buffers
+                st2 = TrainState.create(
+                    jax.tree.map(lambda x: x.copy(), params), tx)
                 step2 = make_train_step(model, tx, "mse")
                 st2, l2 = step2(st2, dbs2[0], rng)
                 _ = float(l2)

@@ -417,13 +417,22 @@ def run_pretrain(opt, quiet: bool = False):
                               seed=seed, with_targets=True, pack=True,
                               compute_dtype=fp.dtype)
         next(iter(ploader))  # build the pack layout in-parent
+        ploader._epoch = 0   # the layout probe advanced the shuffle state
         trainer = PretrainTrainer(model, tx, compat_loss_overwrite=compat,
                                   layout=ploader.layout)
+        # exact per-epoch batch counts: greedy windowing varies with the
+        # per-epoch shuffle, so walk the (cheap, pad-free) window sequence
+        # once with a shuffle-state twin — keeps epoch boundaries, and
+        # therefore reported train losses, exact
+        sim = BatchLoader(train_g, bs, spec=spec, shuffle=True, seed=seed,
+                          with_targets=True)
+        epoch_counts = [sum(1 for _ in sim._windows())
+                        for _ in range(n_epochs)]
         packed_stream = ploader.stream(n_epochs, depth=4, process=True)
-        batches_per_epoch = len(ploader)
         if not quiet:
             print(f"packed process stream active "
-                  f"({ploader.layout.total_bytes / 1e6:.1f} MB/batch)")
+                  f"({ploader.layout.total_bytes / 1e6:.1f} MB/batch, "
+                  f"{epoch_counts[0]} batches/epoch)")
     else:
         trainer = PretrainTrainer(model, tx, compat_loss_overwrite=compat)
 
@@ -445,7 +454,7 @@ def run_pretrain(opt, quiet: bool = False):
         with profile_trace(profile_dir if epoch == 1 else None):
             if packed_stream is not None:
                 losses = []
-                for _ in range(batches_per_epoch):
+                for _ in range(epoch_counts[epoch]):
                     b = next(packed_stream, None)
                     if b is None:
                         break
