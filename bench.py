@@ -284,10 +284,12 @@ def main() -> None:
                 dbs2 = [jax.tree.map(jax.device_put, b) for b in loader2]
                 if not dbs2:
                     continue
-                # fresh param copies: the main loop's donated step has
-                # already consumed the original buffers
-                st2 = TrainState.create(
-                    jax.tree.map(lambda x: x.copy(), params), tx)
+                # fresh init: the main loop's donated step consumed the
+                # original param buffers (even .copy() on them raises)
+                p2 = jax.jit(
+                    lambda r, b: model.init(r, b, deterministic=True)
+                )(jax.random.PRNGKey(3), dbs2[0])
+                st2 = TrainState.create(p2, tx)
                 step2 = make_train_step(model, tx, "mse")
                 st2, l2 = step2(st2, dbs2[0], rng)
                 _ = float(l2)
