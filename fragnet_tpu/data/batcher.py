@@ -136,7 +136,9 @@ class BatchLoader:
     def __iter__(self) -> Iterator[HierGraphBatch]:
         for window in self._windows():
             batch = pad_batch(window, self.spec, n_tasks=self.n_tasks,
-                              with_targets=self.with_targets)
+                              with_targets=self.with_targets,
+                              build_dense=not self.pack,
+                              strict_tcsr=self.pack and self.spec.tcsr)
             if self.pack:
                 from fragnet_tpu.data.packing import build_layout, pack_batch
 
@@ -146,7 +148,8 @@ class BatchLoader:
 
                     self.layout = build_layout(
                         batch, self.compute_dtype or jnp.float32,
-                        compact=self.pack_compact)
+                        compact=self.pack_compact,
+                        aligned=self.spec.align)
                 batch = pack_batch(batch, self.layout, validate=validate)
             if self.to_device:
                 batch = jax.tree.map(
@@ -168,7 +171,9 @@ class BatchLoader:
             for window in self._windows():
                 if idx % n_workers == worker_id:
                     b = pad_batch(window, self.spec, n_tasks=self.n_tasks,
-                                  with_targets=self.with_targets)
+                                  with_targets=self.with_targets,
+                                  build_dense=False,
+                                  strict_tcsr=self.spec.tcsr)
                     yield (idx, pack_batch(b, self.layout).tobytes())
                 idx += 1
 
@@ -330,6 +335,98 @@ def _pack_worker(loader: "BatchLoader", q, n_epochs: int,
         import traceback
 
         q.put(traceback.format_exc())
+
+
+class PackedCacheLoader:
+    """Host-RAM cache of PACKED batches: pad+pack each batch ONCE (in
+    parallel pack workers), then every later epoch replays the ~1 MB uint8
+    buffers in a reshuffled order — steady-state epochs skip the host
+    padding/packing entirely, leaving only the (compressed, single-buffer)
+    transfer. This is the streamed-pretrain steady state for datasets that
+    exceed the HBM cache but fit host RAM packed (a 1M-molecule set at
+    batch 256 is ~4 GB packed vs ~60 GB padded f32).
+
+    Divergence note (same contract as DeviceCacheLoader): batch COMPOSITION
+    is fixed after the packing pass; only batch ORDER reshuffles per epoch.
+
+    Replaces the role of torch DataLoader workers + collate re-running every
+    epoch (reference finetune_gat2.py:240-242, dataset.py:59)."""
+
+    def __init__(self, loader: BatchLoader, seed: int = 0,
+                 workers: int = 1, to_device: bool = True,
+                 max_bytes: Optional[int] = None):
+        if not loader.pack:
+            raise ValueError("PackedCacheLoader requires pack=True")
+        if loader.layout is None:
+            next(iter(loader))  # build the layout (advances shuffle state)
+            loader._epoch = max(0, loader._epoch - 1)
+        self.loader = loader
+        self.seed = seed
+        self._epoch = 0
+        self.bufs: List[np.ndarray] = []
+        host = BatchLoader(
+            loader.graphs, loader.batch_size, spec=loader.spec,
+            shuffle=loader.shuffle, seed=loader.seed,
+            n_tasks=loader.n_tasks, with_targets=loader.with_targets,
+            to_device=False, pack=True, pack_compact=loader.pack_compact,
+            compute_dtype=loader.compute_dtype, drop_last=loader.drop_last,
+        )
+        host.layout = loader.layout
+        it = (host.stream(1, depth=2 * max(1, workers), process=True,
+                          workers=workers)
+              if workers > 1 else iter(host))
+        budget = max_bytes if max_bytes is not None else (8 << 30)
+        for buf in it:
+            self.bufs.append(np.asarray(buf))
+            if len(self.bufs) * loader.layout.total_bytes > budget:
+                raise MemoryError(
+                    f"packed dataset exceeds the host cache budget "
+                    f"({budget / 1e9:.1f} GB) — stream instead "
+                    f"(BatchLoader.stream)")
+        self.to_device = to_device
+
+    @property
+    def layout(self):
+        return self.loader.layout
+
+    def __len__(self) -> int:
+        return len(self.bufs)
+
+    def __iter__(self):
+        order = np.random.default_rng(self.seed + self._epoch).permutation(
+            len(self.bufs))
+        self._epoch += 1
+        for i in order:
+            b = self.bufs[i]
+            yield jax.device_put(b) if self.to_device else b
+
+    def stream(self, n_epochs: int, depth: int = 4):
+        """n_epochs as one continuous stream with the device_put enqueue
+        overlapped by a prefetch thread (the buffers are plain numpy — the
+        thread is pure C-level transfer enqueue, no GIL-heavy packing)."""
+        import queue as _queue
+        import threading
+
+        q: _queue.Queue = _queue.Queue(maxsize=depth)
+        done = object()
+
+        def worker():
+            try:
+                for _ in range(n_epochs):
+                    for b in self:
+                        q.put(b)
+                q.put(done)
+            except BaseException as exc:
+                q.put(exc)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
 
 class DeviceCacheLoader:

@@ -146,9 +146,13 @@ def _bg_loc8_ok(b: HierGraphBatch) -> bool:
     return bool((loc[mask] >= 0).all() and (loc[mask] <= 255).all())
 
 
+_ALIGNED_NODE_MASKS = ("atom_mask", "edge_mask", "frag_mask", "fconn_mask")
+
+
 def build_layout(template: HierGraphBatch, compute_dtype=jnp.float32,
                  sparse_k: Optional[int] = None,
-                 compact: bool = False) -> PackLayout:
+                 compact: bool = False,
+                 aligned: bool = False) -> PackLayout:
     """Derive the static layout from one template batch (shapes come from the
     PadSpec so every batch of the spec conforms; value-level assumptions are
     re-validated on every pack with automatic errors, and relaxed here when
@@ -202,7 +206,14 @@ def build_layout(template: HierGraphBatch, compute_dtype=jnp.float32,
 
     for f in _MASK_FIELDS:
         arr = np.asarray(getattr(template, f))
-        add(f, MASKC if _is_prefix_mask(arr) else I8, arr.shape, "float32")
+        # tile-ALIGNED packing puts gaps mid-array on the four node axes, so
+        # a template whose mask happens to be a contiguous prefix (totals
+        # landing exactly on tile boundaries) must NOT lock in the one-count
+        # encoding — a later batch with a gap would silently decode as a
+        # wrong prefix mask (ADVICE r4 medium #1). Force I8 there.
+        maskc_ok = _is_prefix_mask(arr) and not (
+            aligned and f in _ALIGNED_NODE_MASKS)
+        add(f, MASKC if maskc_ok else I8, arr.shape, "float32")
     for f in _BITS_FIELDS:
         arr = np.asarray(getattr(template, f))
         ok = compact and np.isin(arr, (0.0, 1.0)).all()
@@ -315,7 +326,15 @@ def pack_batch(batch: HierGraphBatch, layout: PackLayout,
     for e in layout.entries:
         if "." in e.name:
             lvl, part = e.name.split(".")
-            arr = np.asarray(getattr(getattr(batch, lvl), part))
+            tm = getattr(batch, lvl)
+            if tm is None:
+                raise ValueError(
+                    f"batch has no {lvl} TileMeta but the pack layout "
+                    f"requires it — the batch exceeded the pinned TCSR "
+                    f"windows (pad_batch fell back to XLA). Build packed "
+                    f"batches with strict_tcsr=True to get the precise "
+                    f"level/pin diagnosis (graphs/hiergraph.pad_batch)")
+            arr = np.asarray(getattr(tm, part))
         else:
             arr = np.asarray(getattr(batch, e.name))
         if e.enc == SPARSE8:
@@ -324,8 +343,15 @@ def pack_batch(batch: HierGraphBatch, layout: PackLayout,
                 [cols.reshape(-1).view(np.uint8),
                  vals.reshape(-1).view(np.uint8)]))
         elif e.enc == MASKC:
-            if validate and not _is_prefix_mask(arr):
-                raise ValueError(f"mask {e.name} is not a contiguous prefix")
+            # ALWAYS checked (not just on validate): a non-prefix mask
+            # encoded as a count silently corrupts training (ADVICE r4);
+            # the check is O(n) — negligible next to the pack itself
+            if not _is_prefix_mask(arr):
+                raise ValueError(
+                    f"mask {e.name} is not a contiguous prefix but the "
+                    f"layout chose the count encoding from the template "
+                    f"batch; rebuild the layout with aligned=True (or "
+                    f"report this as a batcher invariant violation)")
             put(e, np.asarray([int(arr.sum())], np.int32))
         elif e.enc == BITS:
             b = arr.astype(np.uint8)

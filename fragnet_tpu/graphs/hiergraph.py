@@ -348,9 +348,17 @@ def fits(graphs: Sequence, spec: PadSpec) -> bool:
 
 
 def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
-              with_targets: bool = False) -> HierGraphBatch:
+              with_targets: bool = False,
+              build_dense: bool = True,
+              strict_tcsr: bool = False) -> HierGraphBatch:
     """Concatenate molecules with index offsets (collate semantics,
-    data.py:877-948) and pad every dimension to the spec."""
+    data.py:877-948) and pad every dimension to the spec.
+
+    ``build_dense=False`` skips the dense value/adjacency planes
+    (ops/dense_gat.py) — tens of MB of host np.zeros + scatters per batch
+    that the packed-transport path immediately discards (the planes are
+    deliberately not transported; data/packing.py). Pack workers MUST pass
+    False or host packing throughput craters (ADVICE r4)."""
     if not fits(graphs, spec):
         raise ValueError(
             f"batch exceeds spec: atoms={sum(g.n_atoms for g in graphs)}"
@@ -525,10 +533,25 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
             fc_src, fc_dst, fc_mask, C, tn=spec.tn, te=spec.te,
             n_chunks=spec.tc_fc[0], k_src=spec.tc_fc[1])
         if any(v is None for v in tcsr_kw.values()):
+            if strict_tcsr:
+                # the packed-transport layout hard-codes the TCSR entries;
+                # a silent XLA fallback here would crash pack_batch with an
+                # opaque AttributeError hours into a stream (ADVICE r4) —
+                # name the level and the pinned windows instead
+                bad = [k for k, v in tcsr_kw.items() if v is None]
+                pins = {"tm_atom": spec.tc_atom, "tm_bond": spec.tc_bond,
+                        "tm_frag": spec.tc_frag, "tm_fc": spec.tc_fc}
+                raise ValueError(
+                    f"batch exceeds the pinned TCSR windows at level(s) "
+                    f"{bad} (pinned (n_chunks, k_src) = "
+                    f"{ {k: pins[k] for k in bad} }); the packed stream "
+                    f"requires every batch to fit the pins — enlarge the "
+                    f"spec slack (hiergraph._pin_tcsr) or rebuild the spec "
+                    f"from this dataset")
             tcsr_kw = {}  # batch exceeds pinned windows — XLA fallback
 
     dense_kw = {}
-    if spec.align and spec.tcsr:
+    if spec.align and spec.tcsr and build_dense:
         from fragnet_tpu.ops.dense_gat import build_dense_planes
 
         # zero-gather dense planes for the rank-structured levels; None when

@@ -18,6 +18,7 @@ Parameter parity notes (for the torch-checkpoint importer):
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Optional, Tuple
 
 import jax
@@ -25,27 +26,64 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
-import os as _os
-
 from fragnet_tpu.ops.dense_gat import dense_attr_gat_pass, dense_gat_pass
-
-# Dense-kernel strategy knobs, defaults = the measured v5e optimum
-# (BASELINE.md r4 experiment log):
-#  * atom/frag (dynamic edge attrs): TCSR k_src=1 beats the dense-attr
-#    kernel through the train step (47.2M vs 42.1M edges/s — the attr
-#    backward needs a re-accumulate + a separate emit kernel), so
-#    FRAGNET_DENSE_ATTR defaults OFF; the kernel stays available.
-#  * bond: host-precomputed value planes ("planes"); the "attr" mode HUNG
-#    on-device at bond-level shapes — do not enable it there.
-#  * fconn: "planes" measured 49.3M vs "attr" 47.8M through the train step
-#    once the parallel tile-dim semantics fixed the 7-plane DMA pathology.
-_DENSE_ATTR = _os.environ.get("FRAGNET_DENSE_ATTR", "0") == "1"
-_DENSE_BOND_MODE = _os.environ.get("FRAGNET_DENSE_BOND", "planes")
-_DENSE_FC_MODE = _os.environ.get("FRAGNET_DENSE_FC", "planes")
 from fragnet_tpu.ops.ell import ell_gat_pass
 from fragnet_tpu.ops.pallas_gat import pallas_gat_pass, pallas_gat_pass_ep
 from fragnet_tpu.ops.tcsr import EPTileMeta, TileMeta
 from fragnet_tpu.ops.segment import gat_attention_pass, segment_sum
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelPolicy:
+    """Per-level dense-kernel strategy. Defaults = the measured v5e optimum
+    (BASELINE.md r4 experiment log):
+
+    * ``bond``: "planes" (host-precomputed value-plane kernel) or "tcsr".
+      "attr" is REFUSED here: the dense-attr kernel HUNG the device at
+      bond-level shapes (BASELINE.md r4 experiment log — "parked, never
+      enable").
+    * ``fc``: "planes" | "attr" | "tcsr" — "planes" measured 49.3M vs
+      "attr" 47.8M train edges/s once parallel tile-dim semantics fixed the
+      7-plane DMA pathology.
+    * ``attr``: atom/frag levels (dynamic edge attrs) use the dense-attr
+      kernel instead of TCSR k_src=1. Defaults OFF: TCSR measured 47.2M vs
+      42.1M (the attr backward needs a re-accumulate + emit kernel).
+
+    Resolved from config/CLI (``finetune.kernel.*``) with env-var overrides
+    by train/fastpath.resolve — model code never reads the environment.
+    """
+
+    bond: str = "planes"
+    fc: str = "planes"
+    attr: bool = False
+
+    def __post_init__(self):
+        if self.bond == "attr":
+            raise ValueError(
+                "kernel.bond='attr' is refused: the dense-attr kernel HUNG "
+                "the device at bond-level shapes (see BASELINE.md, r4 "
+                "on-device experiments: 'parked — never enable'). Use "
+                "'planes' or 'tcsr'.")
+        if self.bond not in ("planes", "tcsr"):
+            raise ValueError(f"kernel.bond={self.bond!r} (planes|tcsr)")
+        if self.fc not in ("planes", "attr", "tcsr"):
+            raise ValueError(f"kernel.fc={self.fc!r} (planes|attr|tcsr)")
+
+
+_KERNEL_POLICY = KernelPolicy()
+
+
+def set_kernel_policy(policy: KernelPolicy) -> None:
+    """Install the process-wide kernel strategy (train/fastpath.resolve is
+    the production caller; tests may install ad-hoc policies)."""
+    global _KERNEL_POLICY
+    if not isinstance(policy, KernelPolicy):
+        raise TypeError(type(policy))
+    _KERNEL_POLICY = policy
+
+
+def get_kernel_policy() -> KernelPolicy:
+    return _KERNEL_POLICY
 
 # torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
 torch_linear_init = nn.initializers.variance_scaling(
@@ -87,6 +125,93 @@ class LayerHooks:
     frag_bond_mask: Optional[jnp.ndarray] = None
     atom_mask: Optional[jnp.ndarray] = None
     atom_zero_vec: Optional[jnp.ndarray] = None
+
+
+def _gat_dispatch(
+    nf: jnp.ndarray,            # (N, H, Dp) projected node features
+    ea: jnp.ndarray,            # (E, Da) per-edge attrs (embedded/dynamic)
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    mask: jnp.ndarray,
+    avec: jnp.ndarray,          # (H, 2*Dp + Da) attention vector
+    *,
+    num_nodes: int,
+    tm,                         # TileMeta | EPTileMeta | None
+    dp,                         # dense planes | None
+    nbr_edge,
+    nbr_mask,
+    mode: str,                  # "planes" | "attr" | "tcsr"
+    fold=None,                  # (v, c) folded edge-attr term (planes mode)
+    self_loops: bool = False,
+    ep_axis=None,
+    xla=None,                   # optional (src, dst, attr, mask) override
+                                # for the ELL/XLA fallback (the atom level
+                                # appends explicit self-loop rows there)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One GAT pass through whichever kernel the batch metadata + policy
+    select. Selection ladder (identical for all four levels — VERDICT r4
+    weak #6 wanted this in exactly one place):
+
+      EP mode:  fused TCSR-EP kernel when EPTileMeta is present, else the
+                XLA segment path with mesh collectives.
+      planes:   dense zero-gather kernel (host-precomputed value planes).
+      attr:     dense kernel with in-kernel edge-attr scatter.
+      tcsr:     fused TCSR kernel.
+      ELL / XLA segment ops as final fallbacks.
+
+    Math contract for every branch: ops/segment.py:gat_attention_pass
+    (reference gat2.py:137-169)."""
+    H = nf.shape[1]
+
+    def _xla_args():
+        if xla is not None:
+            return xla
+        return src, dst, ea, mask
+
+    if ep_axis is not None:
+        if isinstance(tm, EPTileMeta):
+            return pallas_gat_pass_ep(nf, ea, src, dst, mask, avec, tm,
+                                      axis=ep_axis, self_loops=self_loops)
+        xsrc, xdst, xattr, xmask = _xla_args()
+        attr_h = jnp.broadcast_to(
+            xattr[:, None, :], (xattr.shape[0], H, xattr.shape[1]))
+        return gat_attention_pass(nf, attr_h, xsrc, xdst, avec, num_nodes,
+                                  edge_mask=xmask, axis_name=ep_axis)
+    if mode == "planes" and dp is not None and fold is not None:
+        v, c = fold
+        return dense_gat_pass(nf, dp, v, c, ea, src, dst, mask, avec)
+    if mode == "attr" and dp is not None and isinstance(tm, TileMeta):
+        adj = dp if dp.shape[1] == dp.shape[2] \
+            else jax.lax.slice_in_dim(dp, 0, dp.shape[2], axis=1)
+        return dense_attr_gat_pass(nf, ea, src, dst, mask, avec, adj, tm,
+                                   self_loops=self_loops)
+    if isinstance(tm, TileMeta):
+        return pallas_gat_pass(nf, ea, src, dst, mask, avec, tm,
+                               self_loops=self_loops)
+    xsrc, xdst, xattr, xmask = _xla_args()
+    if nbr_edge is not None:
+        return ell_gat_pass(nf, xattr, xsrc, nbr_edge, nbr_mask, avec,
+                            num_src_nodes=num_nodes)
+    attr_h = jnp.broadcast_to(
+        xattr[:, None, :], (xattr.shape[0], H, xattr.shape[1]))
+    return gat_attention_pass(nf, attr_h, xsrc, xdst, avec, num_nodes,
+                              edge_mask=xmask)
+
+
+def _fold_planes(emb_module, raw_dim: int, avec: jnp.ndarray, dp0: int,
+                 dt) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold an edge-attr embed Dense + the a_ea slice of the attention
+    vector into the (v, c) rank terms the planes kernel consumes —
+    basis-applied through the SAME flax module so autodiff reaches its
+    params (model/layers.py's planes contract, ops/dense_gat.py)."""
+    H = avec.shape[0]
+    bias_row = emb_module(jnp.zeros((1, raw_dim), dt))
+    Wt = emb_module(jnp.eye(raw_dim, dtype=dt)) - bias_row     # (R, Dp)
+    a_ea = avec[:, dp0:2 * dp0]
+    v = Wt.astype(jnp.float32) @ a_ea.T.astype(jnp.float32)
+    c = (bias_row.astype(jnp.float32)
+         @ a_ea.T.astype(jnp.float32)).reshape(H)
+    return v, c
 
 
 @struct.dataclass
@@ -152,63 +277,19 @@ class FragNetLayer(nn.Module):
                         name="projection_b")(nf_bonds)
         nf_b = nf_b.reshape(E, H, edge_out_ph)
         a_b = self.param("a_b", xavier_gain, (H, 3 * edge_out_ph))
-        if self.ep_axis is None and batch.dp_bond is not None \
-                and _DENSE_BOND_MODE == "attr" \
-                and isinstance(batch.tm_bond, TileMeta):
-            # adjacency-only dense kernel; w_ea scattered in-kernel
-            tn_b = batch.dp_bond.shape[2]
-            bond_out, attn_bonds = dense_attr_gat_pass(
-                nf_b, ea_b, batch.bg_src, batch.bg_dst, batch.bg_mask,
-                a_b, jax.lax.slice_in_dim(batch.dp_bond, 0, tn_b, axis=1),
-                batch.tm_bond,
-            )
-        elif self.ep_axis is None and batch.dp_bond is not None:
-            # dense zero-gather kernel (ops/dense_gat.py): the raw bond-graph
-            # edge attr is the 1-dim cos-angle, so the embed Dense + a_ea
-            # fold to (v, c) — basis-applied through the SAME module so
-            # autodiff reaches its params
-            Rb = batch.ea_bonds.shape[1]
-            bias_row = emb_b(jnp.zeros((1, Rb), dt))
-            Wt = emb_b(jnp.eye(Rb, dtype=dt)) - bias_row           # (Rb, Dp)
-            a_ea = a_b[:, edge_out_ph:2 * edge_out_ph]
-            v = Wt.astype(jnp.float32) @ a_ea.T.astype(jnp.float32)
-            c = (bias_row.astype(jnp.float32)
-                 @ a_ea.T.astype(jnp.float32)).reshape(H)
-            bond_out, attn_bonds = dense_gat_pass(
-                nf_b, batch.dp_bond, v, c, ea_b,
-                batch.bg_src, batch.bg_dst, batch.bg_mask, a_b,
-            )
-        elif self.ep_axis is not None and isinstance(batch.tm_bond, EPTileMeta):
-            # fused TCSR kernel on this shard's edge range + mesh combine
-            bond_out, attn_bonds = pallas_gat_pass_ep(
-                nf_b, ea_b, batch.bg_src, batch.bg_dst, batch.bg_mask,
-                a_b, batch.tm_bond, axis=self.ep_axis,
-            )
-        elif self.ep_axis is not None:
-            ea_bh = jnp.broadcast_to(
-                ea_b[:, None, :], (ea_b.shape[0], H, edge_out_ph))
-            bond_out, attn_bonds = gat_attention_pass(
-                nf_b, ea_bh, batch.bg_src, batch.bg_dst, a_b, E,
-                edge_mask=batch.bg_mask, axis_name=self.ep_axis,
-            )
-        elif isinstance(batch.tm_bond, TileMeta):
-            bond_out, attn_bonds = pallas_gat_pass(
-                nf_b, ea_b, batch.bg_src, batch.bg_dst, batch.bg_mask,
-                a_b, batch.tm_bond,
-            )
-        elif batch.bg_nbr_edge is not None:
-            bond_out, attn_bonds = ell_gat_pass(
-                nf_b, ea_b, batch.bg_src, batch.bg_nbr_edge,
-                batch.bg_nbr_mask, a_b, num_src_nodes=E,
-            )
-        else:
-            ea_bh = jnp.broadcast_to(
-                ea_b[:, None, :], (ea_b.shape[0], H, edge_out_ph)
-            )
-            bond_out, attn_bonds = gat_attention_pass(
-                nf_b, ea_bh, batch.bg_src, batch.bg_dst, a_b, E,
-                edge_mask=batch.bg_mask,
-            )
+        pol = get_kernel_policy()
+        fold_b = None
+        if self.ep_axis is None and pol.bond == "planes" \
+                and batch.dp_bond is not None:
+            # raw bond-graph edge attr is the 1-dim cos-angle → rank-1 fold
+            fold_b = _fold_planes(emb_b, batch.ea_bonds.shape[1], a_b,
+                                  edge_out_ph, dt)
+        bond_out, attn_bonds = _gat_dispatch(
+            nf_b, ea_b, batch.bg_src, batch.bg_dst, batch.bg_mask, a_b,
+            num_nodes=E, tm=batch.tm_bond, dp=batch.dp_bond,
+            nbr_edge=batch.bg_nbr_edge, nbr_mask=batch.bg_nbr_mask,
+            mode=pol.bond, fold=fold_b, ep_axis=self.ep_axis,
+        )
         new_bond_features = bond_out.reshape(E, -1)
         new_bond_features = _zero_rows(
             new_bond_features,
@@ -246,52 +327,24 @@ class FragNetLayer(nn.Module):
                         name="projection_a")(x_atoms)
         nf_a = nf_a.reshape(A, H, atom_out_ph)
         a = self.param("a", xavier_gain, (H, 2 * atom_out_ph + self.edge_out))
-        if self.ep_axis is not None and isinstance(batch.tm_atom, EPTileMeta):
+        if self.ep_axis is not None:
             # local slice of the replicated E-space bond features; the
             # appended self-loops are folded analytically in the combine
             Es = batch.edge_src.shape[0]
             aidx = jax.lax.axis_index(self.ep_axis)
-            nb_local = jax.lax.dynamic_slice_in_dim(
+            ea_a = jax.lax.dynamic_slice_in_dim(
                 new_bond_features, aidx * Es, Es)
-            atom_out_feats, attn_atoms_full = pallas_gat_pass_ep(
-                nf_a, nb_local, batch.edge_src, batch.edge_dst,
-                jax.lax.dynamic_slice_in_dim(edge_mask, aidx * Es, Es),
-                a, batch.tm_atom, axis=self.ep_axis, self_loops=True,
-            )
-        elif self.ep_axis is not None:
-            e_attr_h = jnp.broadcast_to(
-                e_attr[:, None, :], (e_attr.shape[0], H, self.edge_out))
-            atom_out_feats, attn_atoms_full = gat_attention_pass(
-                nf_a, e_attr_h, src, dst, a, A, edge_mask=e_mask,
-                axis_name=self.ep_axis,
-            )
-        elif _DENSE_ATTR and batch.dp_atom is not None \
-                and isinstance(batch.tm_atom, TileMeta):
-            # dense per-tile kernel with in-kernel edge-attr scatter
-            # (ops/dense_gat.py); self-loops folded analytically
-            atom_out_feats, attn_atoms_full = dense_attr_gat_pass(
-                nf_a, new_bond_features, batch.edge_src, batch.edge_dst,
-                batch.edge_mask, a, batch.dp_atom, batch.tm_atom,
-                self_loops=True,
-            )
-        elif isinstance(batch.tm_atom, TileMeta):
-            # self-loops (zero edge attrs, gat2.py:179-185) folded in-kernel
-            atom_out_feats, attn_atoms_full = pallas_gat_pass(
-                nf_a, new_bond_features, batch.edge_src, batch.edge_dst,
-                batch.edge_mask, a, batch.tm_atom, self_loops=True,
-            )
-        elif batch.atom_nbr_edge is not None:
-            atom_out_feats, attn_atoms_full = ell_gat_pass(
-                nf_a, e_attr, src, batch.atom_nbr_edge,
-                batch.atom_nbr_mask, a, num_src_nodes=A,
-            )
+            mask_a = jax.lax.dynamic_slice_in_dim(edge_mask, aidx * Es, Es)
         else:
-            e_attr_h = jnp.broadcast_to(
-                e_attr[:, None, :], (e_attr.shape[0], H, self.edge_out)
-            )
-            atom_out_feats, attn_atoms_full = gat_attention_pass(
-                nf_a, e_attr_h, src, dst, a, A, edge_mask=e_mask,
-            )
+            ea_a = new_bond_features
+            mask_a = batch.edge_mask
+        atom_out_feats, attn_atoms_full = _gat_dispatch(
+            nf_a, ea_a, batch.edge_src, batch.edge_dst, mask_a, a,
+            num_nodes=A, tm=batch.tm_atom, dp=batch.dp_atom,
+            nbr_edge=batch.atom_nbr_edge, nbr_mask=batch.atom_nbr_mask,
+            mode="attr" if pol.attr else "tcsr", self_loops=True,
+            ep_axis=self.ep_axis, xla=(src, dst, e_attr, e_mask),
+        )
         x_atoms_new = atom_out_feats.reshape(A, -1)
         x_atoms_new = _zero_rows(x_atoms_new, hooks.atom_mask)
         if hooks.atom_zero_vec is not None:
@@ -312,59 +365,18 @@ class FragNetLayer(nn.Module):
                          name="projection_fb")(nf_fbonds)
         nf_fb = nf_fb.reshape(C, H, edge_out_ph)
         f_a_b = self.param("f_a_b", xavier_gain, (H, 3 * edge_out_ph))
-        if self.ep_axis is None and batch.dp_fc is not None \
-                and _DENSE_FC_MODE == "attr" \
-                and isinstance(batch.tm_fc, TileMeta):
-            tn_f = batch.dp_fc.shape[2]
-            fbond_out, attn_fbonds = dense_attr_gat_pass(
-                nf_fb, ea_fb, batch.fc_src, batch.fc_dst, batch.fc_mask,
-                f_a_b, jax.lax.slice_in_dim(batch.dp_fc, 0, tn_f, axis=1),
-                batch.tm_fc,
-            )
-        elif self.ep_axis is None and batch.dp_fc is not None:
-            # dense zero-gather kernel: raw fconn attrs are the 6-dim
-            # connection one-hot sums → rank-6 (v, c) fold
-            Rf = batch.ea_fbonds.shape[1]
-            bias_row = emb_fb(jnp.zeros((1, Rf), dt))
-            Wt = emb_fb(jnp.eye(Rf, dtype=dt)) - bias_row
-            a_ea = f_a_b[:, edge_out_ph:2 * edge_out_ph]
-            v = Wt.astype(jnp.float32) @ a_ea.T.astype(jnp.float32)
-            c = (bias_row.astype(jnp.float32)
-                 @ a_ea.T.astype(jnp.float32)).reshape(H)
-            fbond_out, attn_fbonds = dense_gat_pass(
-                nf_fb, batch.dp_fc, v, c, ea_fb,
-                batch.fc_src, batch.fc_dst, batch.fc_mask, f_a_b,
-            )
-        elif self.ep_axis is not None and isinstance(batch.tm_fc, EPTileMeta):
-            fbond_out, attn_fbonds = pallas_gat_pass_ep(
-                nf_fb, ea_fb, batch.fc_src, batch.fc_dst, batch.fc_mask,
-                f_a_b, batch.tm_fc, axis=self.ep_axis,
-            )
-        elif self.ep_axis is not None:
-            ea_fbh = jnp.broadcast_to(
-                ea_fb[:, None, :], (ea_fb.shape[0], H, edge_out_ph))
-            fbond_out, attn_fbonds = gat_attention_pass(
-                nf_fb, ea_fbh, batch.fc_src, batch.fc_dst, f_a_b, C,
-                edge_mask=batch.fc_mask, axis_name=self.ep_axis,
-            )
-        elif isinstance(batch.tm_fc, TileMeta):
-            fbond_out, attn_fbonds = pallas_gat_pass(
-                nf_fb, ea_fb, batch.fc_src, batch.fc_dst, batch.fc_mask,
-                f_a_b, batch.tm_fc,
-            )
-        elif batch.fc_nbr_edge is not None:
-            fbond_out, attn_fbonds = ell_gat_pass(
-                nf_fb, ea_fb, batch.fc_src, batch.fc_nbr_edge,
-                batch.fc_nbr_mask, f_a_b, num_src_nodes=C,
-            )
-        else:
-            ea_fbh = jnp.broadcast_to(
-                ea_fb[:, None, :], (ea_fb.shape[0], H, edge_out_ph)
-            )
-            fbond_out, attn_fbonds = gat_attention_pass(
-                nf_fb, ea_fbh, batch.fc_src, batch.fc_dst, f_a_b, C,
-                edge_mask=batch.fc_mask,
-            )
+        fold_f = None
+        if self.ep_axis is None and pol.fc == "planes" \
+                and batch.dp_fc is not None:
+            # raw fconn attrs are the 6-dim connection one-hot sums → rank-6
+            fold_f = _fold_planes(emb_fb, batch.ea_fbonds.shape[1], f_a_b,
+                                  edge_out_ph, dt)
+        fbond_out, attn_fbonds = _gat_dispatch(
+            nf_fb, ea_fb, batch.fc_src, batch.fc_dst, batch.fc_mask, f_a_b,
+            num_nodes=C, tm=batch.tm_fc, dp=batch.dp_fc,
+            nbr_edge=batch.fc_nbr_edge, nbr_mask=batch.fc_nbr_mask,
+            mode=pol.fc, fold=fold_f, ep_axis=self.ep_axis,
+        )
         new_fbond_features = fbond_out.reshape(C, -1)
         new_fbond_features = _zero_rows(
             new_fbond_features,
@@ -377,53 +389,21 @@ class FragNetLayer(nn.Module):
         # fragment node features enter per-head WITHOUT projection
         nf_f = x_frags.reshape(F, H, -1)
         f = self.param("f", xavier_gain, (H, 2 * (self.atom_out // H) + self.edge_out))
-        if self.ep_axis is not None and isinstance(batch.tm_frag, EPTileMeta):
+        if self.ep_axis is not None:
             Cs = batch.frag_src.shape[0]
             aidx = jax.lax.axis_index(self.ep_axis)
-            frag_out, attn_frags = pallas_gat_pass_ep(
-                nf_f,
-                jax.lax.dynamic_slice_in_dim(new_fbond_features, aidx * Cs, Cs),
-                batch.frag_src, batch.frag_dst,
-                jax.lax.dynamic_slice_in_dim(fconn_mask, aidx * Cs, Cs),
-                f, batch.tm_frag, axis=self.ep_axis,
-            )
-        elif self.ep_axis is not None:
-            Cs = batch.frag_src.shape[0]
-            aidx = jax.lax.axis_index(self.ep_axis)
-            fb_local = jax.lax.dynamic_slice_in_dim(
+            ea_f = jax.lax.dynamic_slice_in_dim(
                 new_fbond_features, aidx * Cs, Cs)
-            fm_local = jax.lax.dynamic_slice_in_dim(fconn_mask, aidx * Cs, Cs)
-            fb_attr_h = jnp.broadcast_to(
-                fb_local[:, None, :], (Cs, H, self.edge_out))
-            frag_out, attn_frags = gat_attention_pass(
-                nf_f, fb_attr_h, batch.frag_src, batch.frag_dst, f, F,
-                edge_mask=fm_local, axis_name=self.ep_axis,
-            )
-        elif _DENSE_ATTR and batch.dp_frag is not None \
-                and isinstance(batch.tm_frag, TileMeta):
-            frag_out, attn_frags = dense_attr_gat_pass(
-                nf_f, new_fbond_features, batch.frag_src, batch.frag_dst,
-                batch.fconn_mask, f, batch.dp_frag, batch.tm_frag,
-            )
-        elif isinstance(batch.tm_frag, TileMeta):
-            frag_out, attn_frags = pallas_gat_pass(
-                nf_f, new_fbond_features, batch.frag_src, batch.frag_dst,
-                batch.fconn_mask, f, batch.tm_frag,
-            )
-        elif batch.frag_nbr_edge is not None:
-            frag_out, attn_frags = ell_gat_pass(
-                nf_f, new_fbond_features, batch.frag_src,
-                batch.frag_nbr_edge, batch.frag_nbr_mask, f, num_src_nodes=F,
-            )
+            mask_f = jax.lax.dynamic_slice_in_dim(fconn_mask, aidx * Cs, Cs)
         else:
-            fb_attr_h = jnp.broadcast_to(
-                new_fbond_features[:, None, :],
-                (new_fbond_features.shape[0], H, self.edge_out),
-            )
-            frag_out, attn_frags = gat_attention_pass(
-                nf_f, fb_attr_h, batch.frag_src, batch.frag_dst, f, F,
-                edge_mask=batch.fconn_mask,
-            )
+            ea_f = new_fbond_features
+            mask_f = batch.fconn_mask
+        frag_out, attn_frags = _gat_dispatch(
+            nf_f, ea_f, batch.frag_src, batch.frag_dst, mask_f, f,
+            num_nodes=F, tm=batch.tm_frag, dp=batch.dp_frag,
+            nbr_edge=batch.frag_nbr_edge, nbr_mask=batch.frag_nbr_mask,
+            mode="attr" if pol.attr else "tcsr", ep_axis=self.ep_axis,
+        )
         x_frags_new = frag_out.reshape(F, -1)
         x_frags_new = x_frags_new * frag_mask[:, None]
 

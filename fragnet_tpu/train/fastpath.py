@@ -22,11 +22,14 @@ production path (finetune_gat2.py:240-242); this makes ours match.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from fragnet_tpu.model.layers import KernelPolicy, set_kernel_policy
 
 # model families whose layers consume TCSR tile metadata (FragNet core)
 TCSR_FAMILIES = frozenset({
@@ -48,10 +51,31 @@ class FastPath:
     dtype: Any
     cache: str          # 'auto' | 'on' | 'off'
     on_tpu: bool
+    kernel: KernelPolicy = KernelPolicy()
 
     @property
     def dtype_name(self) -> str:
         return "bf16" if self.dtype == jnp.bfloat16 else "f32"
+
+
+def resolve_kernel_policy(section) -> KernelPolicy:
+    """Per-level kernel strategy from the config subtree's ``kernel.*`` keys
+    (``kernel.bond=planes|tcsr``, ``kernel.fc=planes|attr|tcsr``,
+    ``kernel.attr=true|false``), with the legacy ``FRAGNET_DENSE_*`` env
+    vars as overrides only. ``bond='attr'`` is refused by KernelPolicy
+    itself (known chip hang, BASELINE.md). The resolved policy is INSTALLED
+    (model/layers.get_kernel_policy) so bench and every training entry
+    provably select kernels through this one resolver (VERDICT r4 #7)."""
+    ksec = section.get("kernel", {}) if hasattr(section, "get") else {}
+    getk = ksec.get if hasattr(ksec, "get") else (lambda k, d: d)
+    bond = os.environ.get("FRAGNET_DENSE_BOND") or str(getk("bond", "planes"))
+    fc = os.environ.get("FRAGNET_DENSE_FC") or str(getk("fc", "planes"))
+    attr_env = os.environ.get("FRAGNET_DENSE_ATTR")
+    attr = (attr_env == "1") if attr_env is not None \
+        else bool(getk("attr", False))
+    policy = KernelPolicy(bond=bond, fc=fc, attr=attr)
+    set_kernel_policy(policy)
+    return policy
 
 
 def resolve(section, model_version: str = "gat2",
@@ -74,7 +98,9 @@ def resolve(section, model_version: str = "gat2",
     cache = str(section.get("cache", "auto")).lower()
     if cache not in ("auto", "on", "off"):
         raise ValueError(f"unknown cache policy {cache!r} (auto|on|off)")
-    return FastPath(tcsr=tcsr, dtype=dtype, cache=cache, on_tpu=on_tpu)
+    kernel = resolve_kernel_policy(section)
+    return FastPath(tcsr=tcsr, dtype=dtype, cache=cache, on_tpu=on_tpu,
+                    kernel=kernel)
 
 
 def supports_dtype(model_version: str) -> bool:

@@ -420,19 +420,45 @@ def run_pretrain(opt, quiet: bool = False):
         ploader._epoch = 0   # the layout probe advanced the shuffle state
         trainer = PretrainTrainer(model, tx, compat_loss_overwrite=compat,
                                   layout=ploader.layout)
-        # exact per-epoch batch counts: greedy windowing varies with the
-        # per-epoch shuffle, so walk the (cheap, pad-free) window sequence
-        # once with a shuffle-state twin — keeps epoch boundaries, and
-        # therefore reported train losses, exact
-        sim = BatchLoader(train_g, bs, spec=spec, shuffle=True, seed=seed,
-                          with_targets=True)
-        epoch_counts = [sum(1 for _ in sim._windows())
-                        for _ in range(n_epochs)]
-        packed_stream = ploader.stream(n_epochs, depth=4, process=True)
-        if not quiet:
-            print(f"packed process stream active "
-                  f"({ploader.layout.total_bytes / 1e6:.1f} MB/batch, "
-                  f"{epoch_counts[0]} batches/epoch)")
+        # pack workers scale host-side throughput ~linearly (BENCH_r04
+        # pipeline experiments); default to the host's core count so the
+        # real pretraining CLI ships the measured-fast configuration
+        # (ADVICE r4: it previously defaulted to the slow workers=1)
+        n_workers = int(pt.get("stream_workers", 0)) or \
+            max(2, min(4, os.cpu_count() or 2))
+        # host-RAM packed cache: pack every batch ONCE (parallel workers),
+        # replay reshuffled ~1 MB buffers every later epoch — steady-state
+        # epochs skip host padding/packing entirely. Falls back to the
+        # pack-every-epoch stream when the packed set exceeds the budget.
+        cache_gb = float(pt.get("host_cache_gb", 8.0))
+        from fragnet_tpu.data.batcher import PackedCacheLoader
+
+        try:
+            pcache = PackedCacheLoader(ploader, seed=seed + 7,
+                                       workers=n_workers,
+                                       max_bytes=int(cache_gb * (1 << 30)))
+            epoch_counts = [len(pcache)] * n_epochs
+            packed_stream = pcache.stream(n_epochs, depth=4)
+            if not quiet:
+                print(f"packed host cache active "
+                      f"({ploader.layout.total_bytes / 1e6:.1f} MB/batch × "
+                      f"{len(pcache)} batches, {n_workers} pack workers)")
+        except MemoryError:
+            # exact per-epoch batch counts: greedy windowing varies with the
+            # per-epoch shuffle, so walk the (cheap, pad-free) window
+            # sequence once with a shuffle-state twin — keeps epoch
+            # boundaries, and therefore reported train losses, exact
+            sim = BatchLoader(train_g, bs, spec=spec, shuffle=True,
+                              seed=seed, with_targets=True)
+            epoch_counts = [sum(1 for _ in sim._windows())
+                            for _ in range(n_epochs)]
+            packed_stream = ploader.stream(n_epochs, depth=4, process=True,
+                                           workers=n_workers)
+            if not quiet:
+                print(f"packed process stream active "
+                      f"({ploader.layout.total_bytes / 1e6:.1f} MB/batch, "
+                      f"{epoch_counts[0]} batches/epoch, "
+                      f"{n_workers} pack workers)")
     else:
         trainer = PretrainTrainer(model, tx, compat_loss_overwrite=compat)
 

@@ -123,3 +123,65 @@ def test_finetune_entry_uses_fastpath(ft_graphs, tmp_path):
     value, params = run_finetune(opt, quiet=True, datasets=datasets)
     assert np.isfinite(value)
     assert (tmp_path / "ft.ckpt").exists()
+
+
+class TestKernelPolicy:
+    """Kernel-strategy knobs live in the config system with env overrides
+    (VERDICT r4 #7); the known chip-hang configuration is refused."""
+
+    @pytest.fixture(autouse=True)
+    def _restore_policy(self):
+        from fragnet_tpu.model.layers import KernelPolicy, set_kernel_policy
+
+        yield
+        set_kernel_policy(KernelPolicy())
+
+    def test_defaults(self):
+        pol = fastpath.resolve_kernel_policy({})
+        assert (pol.bond, pol.fc, pol.attr) == ("planes", "planes", False)
+
+    def test_config_keys_and_install(self):
+        from fragnet_tpu.model.layers import get_kernel_policy
+
+        fp = fastpath.resolve(_section(
+            kernel={"bond": "tcsr", "fc": "attr", "attr": True}))
+        assert fp.kernel.bond == "tcsr"
+        assert fp.kernel.fc == "attr"
+        assert fp.kernel.attr is True
+        # the resolved policy is installed process-wide — bench and the
+        # training entries provably select through the same resolver
+        assert get_kernel_policy() == fp.kernel
+
+    def test_env_overrides_config(self, monkeypatch):
+        monkeypatch.setenv("FRAGNET_DENSE_FC", "attr")
+        monkeypatch.setenv("FRAGNET_DENSE_ATTR", "1")
+        pol = fastpath.resolve_kernel_policy(
+            _section(kernel={"fc": "planes", "attr": False}))
+        assert pol.fc == "attr"
+        assert pol.attr is True
+
+    def test_bond_attr_refused(self, monkeypatch):
+        # dense-attr at bond shapes hung the device (BASELINE.md r4) — the
+        # configuration must raise, from config AND from the env override
+        with pytest.raises(ValueError, match="refused"):
+            fastpath.resolve_kernel_policy(_section(kernel={"bond": "attr"}))
+        monkeypatch.setenv("FRAGNET_DENSE_BOND", "attr")
+        with pytest.raises(ValueError, match="refused"):
+            fastpath.resolve_kernel_policy({})
+
+    def test_bad_values(self):
+        with pytest.raises(ValueError):
+            fastpath.resolve_kernel_policy(_section(kernel={"bond": "ell"}))
+        with pytest.raises(ValueError):
+            fastpath.resolve_kernel_policy(_section(kernel={"fc": "zzz"}))
+
+    def test_no_environ_reads_in_model(self):
+        # the policy is the ONLY strategy channel: model code must not read
+        # the environment (VERDICT r4 #7 "no os.environ reads in model/")
+        import pathlib
+
+        import fragnet_tpu.model as m
+
+        for p in pathlib.Path(m.__file__).parent.glob("*.py"):
+            src = p.read_text()
+            assert "os.environ" not in src and "getenv" not in src, p.name

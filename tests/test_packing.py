@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fragnet_tpu.data.batcher import BatchLoader, DeviceCacheLoader
 from fragnet_tpu.data.packing import build_layout, pack_batch, unpack_batch
@@ -177,3 +178,84 @@ class TestProcessStream:
         assert len(got) == len(ref)
         for a, b in zip(ref, got):
             np.testing.assert_array_equal(a, b)
+
+
+class TestAlignedMaskSafety:
+    """ADVICE r4 medium #1: tile-aligned packing creates mid-array mask gaps;
+    the count encoding must never be locked in from a lucky template, and a
+    non-prefix mask under a MASKC layout must raise instead of corrupting."""
+
+    def test_aligned_layout_forces_i8_node_masks(self, ft_graphs):
+        spec = spec_for(ft_graphs, batch_size=4, multiple=16, tcsr=True,
+                        tn=16, te=16, align=True)
+        loader = BatchLoader(ft_graphs, 4, spec=spec, shuffle=False,
+                             to_device=False, pack=True)
+        next(iter(loader))
+        from fragnet_tpu.data.packing import I8
+
+        for f in ("atom_mask", "edge_mask", "frag_mask", "fconn_mask"):
+            assert loader.layout.entry(f).enc == I8, f
+
+    def test_maskc_checked_on_every_pack(self, ft_graphs):
+        loader = BatchLoader(ft_graphs, 4, spec=_spec(ft_graphs),
+                             shuffle=False, to_device=False)
+        b = next(iter(loader))
+        lay = build_layout(b, jnp.float32)
+        assert lay.entry("atom_mask").enc == "maskc"
+        bad_mask = np.asarray(b.atom_mask).copy()
+        c = int(bad_mask.sum())
+        bad_mask[c // 2] = 0.0  # mid-array hole
+        bad = dataclasses.replace(b, atom_mask=bad_mask)
+        with pytest.raises(ValueError, match="contiguous prefix"):
+            pack_batch(bad, lay, validate=False)
+
+    def test_missing_tilemeta_raises_clearly(self, ft_graphs):
+        loader = BatchLoader(ft_graphs, 4, spec=_spec(ft_graphs, tcsr=True),
+                             shuffle=False, to_device=False)
+        b = next(iter(loader))
+        lay = build_layout(b, jnp.float32)
+        bad = dataclasses.replace(b, tm_atom=None)
+        with pytest.raises(ValueError, match="TCSR windows"):
+            pack_batch(bad, lay)
+
+
+class TestPackedCacheLoader:
+    """Pack-once host cache (data/batcher.py PackedCacheLoader): epoch-1
+    buffers identical to the plain packed loader; later epochs replay all
+    buffers in a reshuffled order; stream() covers n_epochs exactly."""
+
+    def test_buffers_match_plain_loader(self, ft_graphs):
+        from fragnet_tpu.data.batcher import PackedCacheLoader
+
+        spec = _spec(ft_graphs)
+        loader = BatchLoader(ft_graphs, 4, spec=spec, shuffle=True, seed=3,
+                             to_device=False, pack=True)
+        cache = PackedCacheLoader(loader, seed=0, workers=1, to_device=False)
+        ref = BatchLoader(ft_graphs, 4, spec=spec, shuffle=True, seed=3,
+                          to_device=False, pack=True)
+        expected = [np.asarray(b) for b in ref]
+        assert len(cache.bufs) == len(expected) > 0
+        for i, (a, b) in enumerate(zip(cache.bufs, expected)):
+            np.testing.assert_array_equal(a, b, err_msg=f"batch {i}")
+
+    def test_epochs_reshuffle_and_cover(self, ft_graphs):
+        from fragnet_tpu.data.batcher import PackedCacheLoader
+
+        loader = BatchLoader(ft_graphs, 2, spec=_spec(ft_graphs),
+                             shuffle=True, seed=3, to_device=False, pack=True)
+        cache = PackedCacheLoader(loader, seed=0, workers=1, to_device=False)
+        key = lambda b: b.tobytes()
+        all_keys = sorted(key(b) for b in cache.bufs)
+        e1 = [key(b) for b in cache]
+        e2 = [key(b) for b in cache]
+        assert sorted(e1) == all_keys and sorted(e2) == all_keys
+        n = sum(1 for _ in cache.stream(3))
+        assert n == 3 * len(cache)
+
+    def test_budget_guard(self, ft_graphs):
+        from fragnet_tpu.data.batcher import PackedCacheLoader
+
+        loader = BatchLoader(ft_graphs, 2, spec=_spec(ft_graphs),
+                             shuffle=False, to_device=False, pack=True)
+        with pytest.raises(MemoryError, match="budget"):
+            PackedCacheLoader(loader, workers=1, to_device=False, max_bytes=8)
