@@ -232,13 +232,32 @@ def main() -> None:
     pipe_workers = int(os.environ.get("BENCH_PIPE_WORKERS", 3))
     pipe_err = None
     pipeline_cold_eps = 0.0
+    pipeline_host_eps = 0.0
     try:
         from fragnet_tpu.data.batcher import PackedCacheLoader
 
         pcache = PackedCacheLoader(ploader, seed=2, workers=pipe_workers
-                                   if pipe_proc else 1)
+                                   if pipe_proc else 1, to_device=False)
+        nb = len(pcache)
+        # tier 1 (primary): HBM-resident packed buffers — the
+        # DevicePackedCacheLoader steady state (zero host work + zero
+        # transfers; in-jit unpack + Pallas plane builder)
+        dev_bufs = [jax.device_put(b) for b in pcache.bufs]
+        for b in dev_bufs:  # warm epoch
+            state, loss = pstep(state, b, rng)
+        _ = float(loss)
+        t0 = time.perf_counter()
+        for ep in range(n_epochs):
+            order = np.random.default_rng(ep).permutation(nb)
+            for i in order:
+                state, loss = pstep(state, dev_bufs[i], rng)
+        _ = float(loss)
+        pipeline_eps = epoch_edges * n_epochs / (time.perf_counter() - t0)
+        del dev_bufs
+        # tier 2: host-RAM packed cache (replay via device_put per batch)
+        pcache.to_device = True
         stream = pcache.stream(n_epochs + 1, depth=6)
-        for _ in range(len(pcache)):  # warm epoch (compile hit + transfers)
+        for _ in range(nb):  # warm epoch
             b = next(stream, None)
             if b is None:
                 break
@@ -250,9 +269,8 @@ def main() -> None:
             state, loss = pstep(state, b, rng)
             n_run += 1
         _ = float(loss)
-        pipeline_eps = (epoch_edges * n_run
-                        / max(1, len(pcache))
-                        / (time.perf_counter() - t0))
+        pipeline_host_eps = (epoch_edges * n_run / max(1, nb)
+                             / (time.perf_counter() - t0))
     except Exception as e:  # a dead pack worker must not kill the bench
         pipe_err = f"{type(e).__name__}: {e}"
         pipeline_eps = 0.0
@@ -361,6 +379,7 @@ def main() -> None:
         "unit": "edges/s",
         "vs_baseline": round(device_eps / baseline, 4) if baseline else 1.0,
         "pipeline_edges_per_sec": round(pipeline_eps, 1),
+        "pipeline_host_edges_per_sec": round(pipeline_host_eps, 1),
         "pipeline_cold_edges_per_sec": round(pipeline_cold_eps, 1),
         "cached_edges_per_sec": round(cached_eps, 1),
         "batch_size": batch_size,

@@ -146,10 +146,22 @@ class BatchLoader:
                 if validate:
                     import jax.numpy as jnp
 
+                    from fragnet_tpu.data.packing import (_DP_LEVELS,
+                                                          dp_level_ok)
+
+                    # levels whose dense planes unpack_batch can rebuild on
+                    # device for EVERY batch of this dataset (tile-local +
+                    # collision-free; packing.dp_level_ok)
+                    dp_levels = ()
+                    if self.spec.align and self.spec.tcsr:
+                        dp_levels = tuple(
+                            l for l in _DP_LEVELS
+                            if dp_level_ok(self.graphs, l, self.spec.tn))
                     self.layout = build_layout(
                         batch, self.compute_dtype or jnp.float32,
                         compact=self.pack_compact,
-                        aligned=self.spec.align)
+                        aligned=self.spec.align,
+                        dp_levels=dp_levels)
                 batch = pack_batch(batch, self.layout, validate=validate)
             if self.to_device:
                 batch = jax.tree.map(
@@ -427,6 +439,49 @@ class PackedCacheLoader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+
+class DevicePackedCacheLoader:
+    """HBM-resident PACKED dataset: pack every batch once (parallel
+    workers), push the ~1-4 MB uint8 buffers to device ONCE, and replay
+    them in a reshuffled order per epoch — zero host work and zero
+    transfers in steady state; the jit'd step unpacks in-jit (with the
+    Pallas plane builder, ops/dense_gat.py). Packed batches are ~6x smaller
+    than padded ones, so this covers pretrain-scale datasets the unpacked
+    DeviceCacheLoader cannot hold (e.g. ~500k molecules in a 8 GB budget at
+    batch 256). Composition is fixed after packing; order reshuffles."""
+
+    def __init__(self, loader: BatchLoader, seed: int = 0,
+                 workers: int = 1, max_bytes: Optional[int] = None):
+        host = PackedCacheLoader(loader, seed=seed, workers=workers,
+                                 to_device=False,
+                                 max_bytes=max_bytes if max_bytes is not None
+                                 else (6 << 30))
+        self.loader = loader
+        self.seed = seed
+        self._epoch = 0
+        self.bufs = [jax.device_put(b) for b in host.bufs]
+        host.bufs = []  # free the host copies
+
+    @property
+    def layout(self):
+        return self.loader.layout
+
+    def __len__(self) -> int:
+        return len(self.bufs)
+
+    def __iter__(self):
+        order = np.random.default_rng(self.seed + self._epoch).permutation(
+            len(self.bufs))
+        self._epoch += 1
+        for i in order:
+            yield self.bufs[i]
+
+    def stream(self, n_epochs: int, depth: int = 0):
+        """n_epochs as one continuous iterator (buffers are already
+        device-resident — no prefetch machinery needed)."""
+        for _ in range(n_epochs):
+            yield from self
 
 
 class DeviceCacheLoader:

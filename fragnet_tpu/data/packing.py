@@ -74,6 +74,10 @@ class PackLayout:
     aliases: Tuple[Tuple[str, str], ...]   # (field, source-field) exact copies
     recompute_x_frags: Tuple[int, int]     # (n_frags, feat_dim)
     tm_static: Tuple[Tuple[str, Tuple[int, int, int, int]], ...]  # lvl → (tn,te,nc,k)
+    # dense planes rebuilt ON DEVICE in unpack_batch (ops/dense_gat.py
+    # consumes them): (dp_field, src_f, dst_f, mask_f, ea_f|"", n_nodes, tn)
+    # — only levels the loader proved tile-local + collision-free dataset-wide
+    dp_specs: Tuple[Tuple[str, str, str, str, str, int, int], ...] = ()
 
     def entry(self, name: str) -> Entry:
         for e in self.entries:
@@ -149,10 +153,45 @@ def _bg_loc8_ok(b: HierGraphBatch) -> bool:
 _ALIGNED_NODE_MASKS = ("atom_mask", "edge_mask", "frag_mask", "fconn_mask")
 
 
+_DP_LEVELS = {
+    # dp field → (src, dst, mask, ea or "", n_nodes key)
+    "dp_bond": ("bg_src", "bg_dst", "bg_mask", "ea_bonds", "n_edges"),
+    "dp_fc": ("fc_src", "fc_dst", "fc_mask", "ea_fbonds", "n_fconn"),
+    "dp_atom": ("edge_src", "edge_dst", "edge_mask", "", "n_atoms"),
+    "dp_frag": ("frag_src", "frag_dst", "fconn_mask", "", "n_frags"),
+}
+
+
+def dp_level_ok(graphs, level: str, tn: int) -> bool:
+    """Can ``level``'s dense planes be rebuilt on device for EVERY batch of
+    these graphs? Requires (a) no molecule exceeding tn nodes at the level
+    (tile-aligned packing then keeps every edge tile-local) and (b) no
+    molecule with duplicate (dst, src) pairs (a dense slot would collide —
+    molecules never collide with each other: distinct local id ranges).
+    Mirrors ops/dense_gat.build_dense_planes's per-batch None conditions,
+    decided once per dataset."""
+    import numpy as _np
+
+    count_attr = {"dp_bond": "n_edges", "dp_fc": "n_fconn",
+                  "dp_atom": "n_atoms", "dp_frag": "n_frags"}[level]
+    idx_attr = {"dp_bond": "ei_bonds", "dp_fc": "ei_fbonds",
+                "dp_atom": "edge_index", "dp_frag": "frag_index"}[level]
+    for g in graphs:
+        if getattr(g, count_attr) > tn:
+            return False
+        ei = _np.asarray(getattr(g, idx_attr))
+        if ei.size:
+            key = ei[0].astype(_np.int64) * (1 << 20) + ei[1]
+            if len(_np.unique(key)) != key.shape[0]:
+                return False
+    return True
+
+
 def build_layout(template: HierGraphBatch, compute_dtype=jnp.float32,
                  sparse_k: Optional[int] = None,
                  compact: bool = False,
-                 aligned: bool = False) -> PackLayout:
+                 aligned: bool = False,
+                 dp_levels: Tuple[str, ...] = ()) -> PackLayout:
     """Derive the static layout from one template batch (shapes come from the
     PadSpec so every batch of the spec conforms; value-level assumptions are
     re-validated on every pack with automatic errors, and relaxed here when
@@ -271,11 +310,21 @@ def build_layout(template: HierGraphBatch, compute_dtype=jnp.float32,
     else:  # defensive; the builder copies nf_bonds from edge_attr
         add("edge_attr", I8, template.edge_attr.shape, "float32")
 
+    dp_specs = []
+    if dp_levels and tm_static:
+        tn = tm_static[0][1][0]
+        for lvl in dp_levels:
+            src_f, dst_f, mask_f, ea_f, nkey = _DP_LEVELS[lvl]
+            if caps[nkey] % tn == 0:
+                dp_specs.append((lvl, src_f, dst_f, mask_f, ea_f,
+                                 caps[nkey], tn))
+
     return PackLayout(
         entries=tuple(entries), total_bytes=off, aliases=tuple(aliases),
         recompute_x_frags=(int(template.x_frags.shape[0]),
                            int(template.x_frags.shape[1])),
         tm_static=tuple(tm_static),
+        dp_specs=tuple(dp_specs),
     )
 
 
@@ -484,9 +533,22 @@ def unpack_batch(buf: jnp.ndarray, layout: PackLayout) -> HierGraphBatch:
     for dst_f, src_f in layout.aliases:
         fields[dst_f] = fields[src_f]
 
+    # x_frags ≡ segment_sum(x_atoms, atom_to_frag) (data.py:421-424), but
+    # XLA lowers segment scatters SERIALLY on TPU (~35 ms at batch 256 —
+    # this one op dominated the unpack). Sort + cumsum + boundary gather is
+    # fully vectorized AND exact: the summands are small integers, so f32
+    # prefix sums stay exactly representable and the differences are exact.
     F, _ = layout.recompute_x_frags
-    fields["x_frags"] = jax.ops.segment_sum(
-        fields["x_atoms"], fields["atom_to_frag"], num_segments=F)
+    x = fields["x_atoms"]
+    atf = fields["atom_to_frag"]
+    perm = jnp.argsort(atf, stable=True)
+    cs = jnp.cumsum(x[perm], axis=0, dtype=jnp.float32)
+    csz = jnp.concatenate([jnp.zeros((1, x.shape[1]), cs.dtype), cs], axis=0)
+    atf_sorted = atf[perm]
+    fidx = jnp.arange(F, dtype=atf.dtype)
+    starts = jnp.searchsorted(atf_sorted, fidx, side="left")
+    ends = jnp.searchsorted(atf_sorted, fidx, side="right")
+    fields["x_frags"] = csz[ends] - csz[starts]
 
     for lvl, (tn, te, nc, kk) in layout.tm_static:
         parts = tm_parts[lvl]
@@ -503,4 +565,21 @@ def unpack_batch(buf: jnp.ndarray, layout: PackLayout) -> HierGraphBatch:
         fields[lvl] = TileMeta(ew_blk=parts["ew_blk"], sw_tile=parts["sw_tile"],
                                flat_slot=flat, cw=parts["cw"], tn=tn, te=te,
                                n_chunks=nc, k_src=kk)
+
+    # dense planes rebuilt on device (ops/dense_gat.py layout) with the
+    # Pallas plane-builder over the levels' TileMeta edge windows — an XLA
+    # scatter here costs ~6 ms/step (serialized on TPU; r5 pipeline
+    # experiments), the builder ~1-2 ms, and without planes decoded batches
+    # fall to the ~3x slower TCSR bond/fc passes.
+    _DP_TM = {"dp_bond": "tm_bond", "dp_fc": "tm_fc",
+              "dp_atom": "tm_atom", "dp_frag": "tm_frag"}
+    for lvl, src_f, dst_f, mask_f, ea_f, n_nodes, tn in layout.dp_specs:
+        tm = fields.get(_DP_TM[lvl])
+        if tm is None:
+            continue
+        from fragnet_tpu.ops.dense_gat import build_dense_planes_device
+
+        fields[lvl] = build_dense_planes_device(
+            fields[src_f], fields[dst_f], fields[mask_f],
+            fields[ea_f] if ea_f else None, n_nodes, tm)
     return HierGraphBatch(**fields)

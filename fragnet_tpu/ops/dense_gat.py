@@ -91,6 +91,107 @@ def build_dense_planes(
 
 
 # --------------------------------------------------------------------------
+# device-side plane builder
+# --------------------------------------------------------------------------
+#
+# The packed-transport path (data/packing.py) does not ship the dense planes
+# (host numpy build + ~10 MB/batch); rebuilding them with an XLA scatter
+# costs ~6 ms/step (serialized on TPU — r5 pipeline experiments; the
+# gather+batched-matmul XLA variant measured 8.7 ms). This kernel builds a
+# level's planes from the per-edge arrays over the SAME TileMeta edge
+# windows the TCSR kernels use: per (tile, chunk) one one-hot (Tn, Te) ×
+# (Te, (R+1)·Tn) matmul accumulated into the tile's plane block.
+
+def _plane_builder_kernel(t0_ref, ew_ref, cw_ref, src_ref, dst_ref,
+                          emask_ref, ea_ref, out_ref,
+                          *, tn, te, n_chunks, R, big_prec):
+    f32 = jnp.float32
+    t = pl.program_id(0)
+    t_abs = t0_ref[0] + t
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        out_ref[0] = jnp.zeros(((R + 1) * tn, tn), f32)
+
+    @pl.when(c < cw_ref[t])
+    def _acc():
+        dst_l = dst_ref[:] - t_abs * tn              # (Te, 1) i32
+        src_l = src_ref[:] - t_abs * tn
+        keep = (dst_l >= 0) & (dst_l < tn) & (src_l >= 0) & (src_l < tn) \
+            & (emask_ref[:] > 0)
+        oh_dst = ((dst_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1))
+                  & keep).astype(f32)
+        oh_src = ((src_l == jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1))
+                  & keep).astype(f32)
+        blocks = [oh_src]
+        if R:
+            ea = ea_ref[:].astype(f32)               # (Te, R)
+            for r in range(R):
+                blocks.append(oh_src * jax.lax.slice(ea, (0, r),
+                                                     (te, r + 1)))
+        rhs = jnp.concatenate(blocks, axis=1) if R else blocks[0]
+        res = jax.lax.dot_general(                   # (Tn, (R+1)·Tn)
+            oh_dst, rhs, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=big_prec)
+        upd = jnp.concatenate(
+            [jax.lax.slice(res, (0, r * tn), (tn, (r + 1) * tn))
+             for r in range(R + 1)], axis=0) if R else res
+        out_ref[0] = out_ref[0] + upd
+
+
+@functools.lru_cache(maxsize=64)
+def _build_plane_builder(N, E, tn, te, n_chunks, R, interpret):
+    grid = (N // tn, n_chunks)
+    comp = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
+    edge = lambda w: pl.BlockSpec(
+        (te, w), lambda t, c, t0, ew, cw: (ew[t] + jnp.minimum(c, cw[t] - 1),
+                                           0))
+    return pl.pallas_call(
+        functools.partial(_plane_builder_kernel, tn=tn, te=te,
+                          n_chunks=n_chunks, R=R, big_prec=_HI),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[edge(1), edge(1), edge(1), edge(max(R, 1))],
+            out_specs=pl.BlockSpec((1, (R + 1) * tn, tn),
+                                   lambda t, c, t0, ew, cw: (t, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((N // tn, (R + 1) * tn, tn),
+                                       jnp.float32),
+        compiler_params=comp,
+        interpret=interpret,
+    )
+
+
+def build_dense_planes_device(
+    src: jnp.ndarray,            # (E,) i32
+    dst: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    edge_attr,                   # (E, R) raw attrs or None
+    n_nodes: int,
+    meta,                        # ops.tcsr.TileMeta (edge windows reused)
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """In-jit equivalent of ``build_dense_planes`` (same output layout) for
+    batches known tile-local + collision-free (packing.dp_level_ok)."""
+    E = int(src.shape[0])
+    if interpret is None:
+        interpret = INTERPRET or jax.default_backend() != "tpu"
+    R = 0 if edge_attr is None else int(edge_attr.shape[-1])
+    call = _build_plane_builder(int(n_nodes), E, meta.tn, meta.te,
+                                meta.n_chunks, R, bool(interpret))
+    src2 = src.reshape(E, 1).astype(jnp.int32)
+    dst2 = dst.reshape(E, 1).astype(jnp.int32)
+    em2 = edge_mask.reshape(E, 1).astype(jnp.float32)
+    ea2 = (jnp.zeros((E, 1), jnp.float32) if R == 0
+           else edge_attr.reshape(E, R).astype(jnp.float32))
+    return call(jnp.zeros((1,), jnp.int32), jnp.asarray(meta.ew_blk),
+                jnp.asarray(meta.cw), src2, dst2, em2, ea2)
+
+
+# --------------------------------------------------------------------------
 # kernels
 # --------------------------------------------------------------------------
 
@@ -284,74 +385,86 @@ def _attr_emit_kernel(t0_ref, ew_ref, cw_ref, dz_ref, src_ref, dst_ref,
 
 
 def _fwd_kernel(planes_ref, wd_ref, wsT_ref, nf_ref, vc_ref,
-                out_ref, m_ref, den_ref, *, tn, H, D, R, slope, big_prec):
+                out_ref, m_ref, den_ref, *, tn, H, D, R, G, slope, big_prec):
+    # G tiles per grid step: the per-grid-step fixed cost (~3-6 µs on v5e,
+    # BASELINE.md roofline) dominated the single-tile kernel; amortize it
+    # over an in-kernel loop of G independent tiles (VERDICT r5 #2).
     f32 = jnp.float32
-    adj = planes_ref[0, :tn, :].astype(f32)
-    msk = adj > 0.0
-    nf = nf_ref[:].astype(f32)
-    for h in range(H):
-        zpre = wd_ref[:, h:h + 1] + wsT_ref[h:h + 1, :]      # (Tn, Tn)
-        for r in range(R):
-            zpre = zpre + planes_ref[0, (r + 1) * tn:(r + 2) * tn, :] \
-                * vc_ref[r, h]
-        zpre = zpre + vc_ref[R, h]
-        z = jnp.where(msk, _leaky(zpre, slope), _NEG)
-        m_h = jnp.max(z, axis=1, keepdims=True)              # (Tn, 1)
-        p = jnp.exp(z - m_h) * adj
-        den = jnp.sum(p, axis=1, keepdims=True)
-        deng = jnp.where(den == 0.0, 1.0, den)
-        out_h = jax.lax.dot_general(
-            p, jax.lax.slice(nf, (0, h * D), (tn, (h + 1) * D)),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=big_prec)
-        out_ref[:, h * D:(h + 1) * D] = out_h / deng
-        m_ref[:, h:h + 1] = m_h
-        den_ref[:, h:h + 1] = den
+    for g in range(G):
+        r0 = g * tn
+        adj = planes_ref[g, :tn, :].astype(f32)
+        msk = adj > 0.0
+        nf = nf_ref[r0:r0 + tn, :].astype(f32)
+        for h in range(H):
+            zpre = wd_ref[r0:r0 + tn, h:h + 1] \
+                + wsT_ref[h:h + 1, r0:r0 + tn]               # (Tn, Tn)
+            for r in range(R):
+                zpre = zpre + planes_ref[g, (r + 1) * tn:(r + 2) * tn, :] \
+                    * vc_ref[r, h]
+            zpre = zpre + vc_ref[R, h]
+            z = jnp.where(msk, _leaky(zpre, slope), _NEG)
+            m_h = jnp.max(z, axis=1, keepdims=True)          # (Tn, 1)
+            p = jnp.exp(z - m_h) * adj
+            den = jnp.sum(p, axis=1, keepdims=True)
+            deng = jnp.where(den == 0.0, 1.0, den)
+            out_h = jax.lax.dot_general(
+                p, jax.lax.slice(nf, (0, h * D), (tn, (h + 1) * D)),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=big_prec)
+            out_ref[r0:r0 + tn, h * D:(h + 1) * D] = out_h / deng
+            m_ref[r0:r0 + tn, h:h + 1] = m_h
+            den_ref[r0:r0 + tn, h:h + 1] = den
 
 
 def _bwd_kernel(planes_ref, wd_ref, wsT_ref, nf_ref, vc_ref, m_ref, den_ref,
                 g_ref, s_ref,
                 d_wd_ref, d_wsT_ref, d_nf_ref, d_vc_ref,
-                *, tn, H, D, R, slope, big_prec):
+                *, tn, H, D, R, G, slope, big_prec):
     f32 = jnp.float32
-    adj = planes_ref[0, :tn, :].astype(f32)
-    msk = adj > 0.0
-    nf = nf_ref[:].astype(f32)
-    d_vc_rows = []
-    for h in range(H):
-        zpre = wd_ref[:, h:h + 1] + wsT_ref[h:h + 1, :]
-        for r in range(R):
-            zpre = zpre + planes_ref[0, (r + 1) * tn:(r + 2) * tn, :] \
-                * vc_ref[r, h]
-        zpre = zpre + vc_ref[R, h]
-        z = jnp.where(msk, _leaky(zpre, slope), _NEG)
-        m_h = m_ref[:, h:h + 1]
-        den_h = den_ref[:, h:h + 1]
-        deng = jnp.where(den_h == 0.0, 1.0, den_h)
-        p = jnp.exp(z - m_h) * adj / deng                    # (Tn, Tn)
-        g_h = jax.lax.slice(g_ref[:], (0, h * D), (tn, (h + 1) * D))
-        nf_h = jax.lax.slice(nf, (0, h * D), (tn, (h + 1) * D))
-        d_p = jax.lax.dot_general(
-            g_h, nf_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=big_prec)   # (Tn, Tn)
-        d_z = p * (d_p - s_ref[:, h:h + 1])
-        d_zpre = d_z * jnp.where(zpre > 0, 1.0, slope) * adj
-        d_nf_ref[:, h * D:(h + 1) * D] = jax.lax.dot_general(
-            p, g_h, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=big_prec)
-        d_wd_ref[:, h:h + 1] = jnp.sum(d_zpre, axis=1, keepdims=True)
-        d_wsT_ref[h:h + 1, :] = jnp.sum(d_zpre, axis=0, keepdims=True)
-        col = [jnp.sum(
-            d_zpre * planes_ref[0, (r + 1) * tn:(r + 2) * tn, :])
-            for r in range(R)] + [jnp.sum(d_zpre)]
-        d_vc_rows.append(col)
-    # (R+1, H) scalar block, padded to the (8, 128) min f32 tile
     vc = jnp.zeros((8, 128), f32)
-    for h in range(H):
-        for r in range(R + 1):
-            oh = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == r) & \
-                 (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == h)
-            vc = vc + jnp.where(oh, d_vc_rows[h][r], 0.0)
+    for g in range(G):
+        r0 = g * tn
+        adj = planes_ref[g, :tn, :].astype(f32)
+        msk = adj > 0.0
+        nf = nf_ref[r0:r0 + tn, :].astype(f32)
+        d_vc_rows = []
+        for h in range(H):
+            zpre = wd_ref[r0:r0 + tn, h:h + 1] \
+                + wsT_ref[h:h + 1, r0:r0 + tn]
+            for r in range(R):
+                zpre = zpre + planes_ref[g, (r + 1) * tn:(r + 2) * tn, :] \
+                    * vc_ref[r, h]
+            zpre = zpre + vc_ref[R, h]
+            z = jnp.where(msk, _leaky(zpre, slope), _NEG)
+            m_h = m_ref[r0:r0 + tn, h:h + 1]
+            den_h = den_ref[r0:r0 + tn, h:h + 1]
+            deng = jnp.where(den_h == 0.0, 1.0, den_h)
+            p = jnp.exp(z - m_h) * adj / deng                # (Tn, Tn)
+            g_h = jax.lax.slice(g_ref[r0:r0 + tn, :], (0, h * D),
+                                (tn, (h + 1) * D))
+            nf_h = jax.lax.slice(nf, (0, h * D), (tn, (h + 1) * D))
+            d_p = jax.lax.dot_general(
+                g_h, nf_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=big_prec)  # (Tn, Tn)
+            d_z = p * (d_p - s_ref[r0:r0 + tn, h:h + 1])
+            d_zpre = d_z * jnp.where(zpre > 0, 1.0, slope) * adj
+            d_nf_ref[r0:r0 + tn, h * D:(h + 1) * D] = jax.lax.dot_general(
+                p, g_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=big_prec)
+            d_wd_ref[r0:r0 + tn, h:h + 1] = jnp.sum(d_zpre, axis=1,
+                                                    keepdims=True)
+            d_wsT_ref[h:h + 1, r0:r0 + tn] = jnp.sum(d_zpre, axis=0,
+                                                     keepdims=True)
+            col = [jnp.sum(
+                d_zpre * planes_ref[g, (r + 1) * tn:(r + 2) * tn, :])
+                for r in range(R)] + [jnp.sum(d_zpre)]
+            d_vc_rows.append(col)
+        # (R+1, H) scalar block, padded to the (8, 128) min f32 tile
+        for h in range(H):
+            for r in range(R + 1):
+                oh = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == r) \
+                    & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == h)
+                vc = vc + jnp.where(oh, d_vc_rows[h][r], 0.0)
     d_vc_ref[0] = vc
 
 
@@ -577,24 +690,34 @@ def dense_attr_gat_pass(
 # pallas_call builders + custom VJP
 # --------------------------------------------------------------------------
 
+def _pick_g(n_tiles: int, tn: int, R: int, vmem_budget: int = 4 << 20) -> int:
+    """Tiles per grid step: largest divisor of n_tiles ≤ 8 whose planes
+    block fits the VMEM budget (the planes DMA is the big per-step input)."""
+    cap = min(8, n_tiles, max(1, vmem_budget // ((R + 1) * tn * tn * 4)))
+    for g in range(cap, 0, -1):
+        if n_tiles % g == 0:
+            return g
+    return 1
+
+
 @functools.lru_cache(maxsize=64)
-def _build(N, tn, H, D, R, slope, dt_name, interpret):
+def _build(N, tn, H, D, R, G, slope, dt_name, interpret):
     dt = jnp.dtype(dt_name)
     big_prec = _HI if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     HD = H * D
-    n_tiles = N // tn
-    kp = dict(tn=tn, H=H, D=D, R=R, slope=slope, big_prec=big_prec)
-    # every grid step is one independent tile — fully parallel
+    n_steps = N // tn // G
+    kp = dict(tn=tn, H=H, D=D, R=R, G=G, slope=slope, big_prec=big_prec)
+    # every grid step is G independent tiles — fully parallel
     comp = pltpu.CompilerParams(dimension_semantics=("parallel",))
 
-    planes_spec = pl.BlockSpec((1, (R + 1) * tn, tn), lambda t: (t, 0, 0))
-    tile = lambda w: pl.BlockSpec((tn, w), lambda t: (t, 0))
-    wsT_spec = pl.BlockSpec((8, tn), lambda t: (0, t))
+    planes_spec = pl.BlockSpec((G, (R + 1) * tn, tn), lambda t: (t, 0, 0))
+    tile = lambda w: pl.BlockSpec((G * tn, w), lambda t: (t, 0))
+    wsT_spec = pl.BlockSpec((8, G * tn), lambda t: (0, t))
     vc_spec = pl.BlockSpec((8, 128), lambda t: (0, 0))
 
     fwd = pl.pallas_call(
         functools.partial(_fwd_kernel, **kp),
-        grid=(n_tiles,),
+        grid=(n_steps,),
         in_specs=[planes_spec, tile(H), wsT_spec, tile(HD), vc_spec],
         out_specs=[tile(HD), tile(H), tile(H)],
         out_shape=[
@@ -607,7 +730,7 @@ def _build(N, tn, H, D, R, slope, dt_name, interpret):
     )
     bwd = pl.pallas_call(
         functools.partial(_bwd_kernel, **kp),
-        grid=(n_tiles,),
+        grid=(n_steps,),
         in_specs=[planes_spec, tile(H), wsT_spec, tile(HD), vc_spec,
                   tile(H), tile(H), tile(HD), tile(H)],
         out_specs=[tile(H), wsT_spec,
@@ -617,7 +740,7 @@ def _build(N, tn, H, D, R, slope, dt_name, interpret):
             jax.ShapeDtypeStruct((N, H), jnp.float32),
             jax.ShapeDtypeStruct((8, N), jnp.float32),
             jax.ShapeDtypeStruct((N, HD), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, 8, 128), jnp.float32),
         ],
         compiler_params=comp,
         interpret=interpret,
@@ -626,8 +749,8 @@ def _build(N, tn, H, D, R, slope, dt_name, interpret):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_op(N, tn, H, D, R, slope, dt_name, interpret):
-    fwd_call, bwd_call = _build(N, tn, H, D, R, slope, dt_name, interpret)
+def _make_op(N, tn, H, D, R, G, slope, dt_name, interpret):
+    fwd_call, bwd_call = _build(N, tn, H, D, R, G, slope, dt_name, interpret)
     HD = H * D
     f32 = jnp.float32
 
@@ -717,7 +840,8 @@ def dense_gat_pass(
     if interpret is None:
         interpret = INTERPRET or jax.default_backend() != "tpu"
     a2 = jnp.concatenate([attn_vec[:, :D], attn_vec[:, D + Da:]], axis=-1)
-    op = _make_op(N, tn, H, D, R, float(negative_slope),
+    op = _make_op(N, tn, H, D, R, _pick_g(N // tn, tn, R),
+                  float(negative_slope),
                   str(node_feats_h.dtype), bool(interpret))
     out, m, den = op(node_feats_h, planes, v, c, a2)
 

@@ -426,21 +426,30 @@ def run_pretrain(opt, quiet: bool = False):
         # (ADVICE r4: it previously defaulted to the slow workers=1)
         n_workers = int(pt.get("stream_workers", 0)) or \
             max(2, min(4, os.cpu_count() or 2))
-        # host-RAM packed cache: pack every batch ONCE (parallel workers),
-        # replay reshuffled ~1 MB buffers every later epoch — steady-state
-        # epochs skip host padding/packing entirely. Falls back to the
-        # pack-every-epoch stream when the packed set exceeds the budget.
+        # packed cache tiers: HBM-resident packed buffers (zero host work +
+        # zero transfers in steady state) when the packed set fits the HBM
+        # budget; else a host-RAM cache (pack once, replay reshuffled, pay
+        # only the transfer); else the pack-every-epoch process stream.
+        hbm_gb = float(pt.get("hbm_cache_gb", 6.0))
         cache_gb = float(pt.get("host_cache_gb", 8.0))
-        from fragnet_tpu.data.batcher import PackedCacheLoader
+        from fragnet_tpu.data.batcher import (DevicePackedCacheLoader,
+                                              PackedCacheLoader)
 
         try:
-            pcache = PackedCacheLoader(ploader, seed=seed + 7,
-                                       workers=n_workers,
-                                       max_bytes=int(cache_gb * (1 << 30)))
+            try:
+                pcache = DevicePackedCacheLoader(
+                    ploader, seed=seed + 7, workers=n_workers,
+                    max_bytes=int(hbm_gb * (1 << 30)))
+                tier = "HBM"
+            except MemoryError:
+                pcache = PackedCacheLoader(
+                    ploader, seed=seed + 7, workers=n_workers,
+                    max_bytes=int(cache_gb * (1 << 30)))
+                tier = "host"
             epoch_counts = [len(pcache)] * n_epochs
             packed_stream = pcache.stream(n_epochs, depth=4)
             if not quiet:
-                print(f"packed host cache active "
+                print(f"packed {tier} cache active "
                       f"({ploader.layout.total_bytes / 1e6:.1f} MB/batch × "
                       f"{len(pcache)} batches, {n_workers} pack workers)")
         except MemoryError:

@@ -259,3 +259,77 @@ class TestPackedCacheLoader:
                              shuffle=False, to_device=False, pack=True)
         with pytest.raises(MemoryError, match="budget"):
             PackedCacheLoader(loader, workers=1, to_device=False, max_bytes=8)
+
+
+class TestDevicePlanes:
+    """Dense planes rebuilt ON DEVICE in unpack_batch (layout.dp_specs):
+    must equal the host builder exactly, and the aligned packed step must
+    match the plain aligned step through the planes kernels."""
+
+    def _aligned_spec(self, graphs):
+        return spec_for(graphs, batch_size=4, multiple=16, tcsr=True,
+                        tn=16, te=16, align=True)
+
+    def test_planes_match_host_builder(self, ft_graphs):
+        spec = self._aligned_spec(ft_graphs)
+        plain = BatchLoader(ft_graphs, 4, spec=spec, shuffle=False,
+                            to_device=False)
+        packed = BatchLoader(ft_graphs, 4, spec=spec, shuffle=False,
+                             to_device=False, pack=True)
+        b = next(iter(plain))
+        pb = next(iter(packed))
+        lay = packed.layout
+        assert lay.dp_specs, "no dp level enabled for this dataset"
+        ub = unpack_batch(jnp.asarray(pb), lay)
+        for lvl in [d[0] for d in lay.dp_specs]:
+            host = getattr(b, lvl)
+            dev = getattr(ub, lvl)
+            assert host is not None and dev is not None, lvl
+            np.testing.assert_array_equal(np.asarray(dev), np.asarray(host),
+                                          err_msg=lvl)
+
+    def test_aligned_packed_step_matches_plain(self, ft_graphs):
+        spec = self._aligned_spec(ft_graphs)
+        model = FragNetFineTune(num_layer=2, num_heads=4, emb_dim=64,
+                                h1=32, h2=32, h3=32, h4=32)
+        tx = make_optimizer("adam", lr=1e-3)
+        plain = BatchLoader(ft_graphs, 4, spec=spec, shuffle=False)
+        packed = BatchLoader(ft_graphs, 4, spec=spec, shuffle=False,
+                             pack=True)
+        b0 = next(iter(plain))
+        p0 = next(iter(packed))
+        params = model.init(jax.random.PRNGKey(0), b0, deterministic=True)
+        rng = jax.random.PRNGKey(1)
+        params2 = jax.tree.map(lambda x: x.copy(), params)  # step donates
+        s1 = TrainState.create(params, tx)
+        s1, l1 = make_train_step(model, tx, "mse")(s1, b0, rng)
+        s2 = TrainState.create(params2, tx)
+        s2, l2 = make_train_step(model, tx, "mse",
+                                 layout=packed.layout)(s2, p0, rng)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        a = jax.tree.leaves(s1.params)[0]
+        c = jax.tree.leaves(s2.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5)
+
+
+class TestDevicePackedCache:
+    def test_device_cache_covers_and_reshuffles(self, ft_graphs):
+        from fragnet_tpu.data.batcher import DevicePackedCacheLoader
+
+        loader = BatchLoader(ft_graphs, 2, spec=_spec(ft_graphs),
+                             shuffle=True, seed=3, to_device=False, pack=True)
+        cache = DevicePackedCacheLoader(loader, seed=0, workers=1)
+        assert len(cache) >= 2
+        key = lambda b: np.asarray(b).tobytes()
+        all_keys = sorted(key(b) for b in cache.bufs)
+        e1 = [key(b) for b in cache]
+        assert sorted(e1) == all_keys
+        assert sum(1 for _ in cache.stream(2)) == 2 * len(cache)
+
+    def test_budget_guard(self, ft_graphs):
+        from fragnet_tpu.data.batcher import DevicePackedCacheLoader
+
+        loader = BatchLoader(ft_graphs, 2, spec=_spec(ft_graphs),
+                             shuffle=False, to_device=False, pack=True)
+        with pytest.raises(MemoryError):
+            DevicePackedCacheLoader(loader, workers=1, max_bytes=8)
