@@ -300,7 +300,7 @@ def _have_optuna() -> bool:
         return False
 
 
-def _run_optuna(base_config, n_trials, storage, study_name, train_fn):  # pragma: no cover
+def _run_optuna(base_config, n_trials, storage, study_name, train_fn):
     import copy
 
     import optuna
@@ -353,7 +353,7 @@ def _inject(base_config, params: Dict):
     return opt
 
 
-def _run_hyperopt(base_config, n_trials, train_fn):  # pragma: no cover
+def _run_hyperopt(base_config, n_trials, train_fn):
     """Hyperopt backend (reference hp/hp.py, hp2.py: fmin over hp.choice
     space). Requires the ``hyperopt`` package."""
     import numpy as np
@@ -383,7 +383,7 @@ def _run_hyperopt(base_config, n_trials, train_fn):  # pragma: no cover
     return trials
 
 
-def _run_ray(base_config, n_trials, train_fn):  # pragma: no cover
+def _run_ray(base_config, n_trials, train_fn):
     """Ray Tune backend (reference hp/hpray.py). Requires ``ray[tune]``."""
     from ray import tune
 

@@ -255,3 +255,224 @@ class TestBackendDelegation:
         finally:
             sys.modules.pop("ray", None)
             sys.modules.pop("ray.tune", None)
+
+
+class TestBackendDelegation:
+    """hyperopt / ray / optuna delegation seams exercised with FAKE modules
+    (VERDICT r4 #8): the space translation and objective wrapping must match
+    the builtin backend's semantics — same dotted injection paths, same
+    value domains, same 1000.0 failure sentinel."""
+
+    _ACTS = ["relu", "silu", "gelu", "celu", "selu", "rrelu", "relu6",
+             "prelu", "leakyrelu"]
+
+    def _base(self, tmp_path):
+        from fragnet_tpu.config import Config
+
+        return Config({"exp_dir": str(tmp_path), "finetune": {"model": {}}})
+
+    def _check_params_and_injection(self, params, opt):
+        from fragnet_tpu.hp import search as S
+
+        assert params["drop_ratio"] in (0.0, 0.1, 0.2, 0.3)
+        for k in ("h1", "h2", "h3", "h4"):
+            assert params[k] in range(64, 2049, 64)
+            assert opt.get(f"finetune.model.{k}") == params[k]
+        assert params["act"] in self._ACTS
+        assert params["batch_size"] in (16, 32, 64, 128)
+        assert 1e-5 <= params["lr"] <= 1e-3
+        assert opt.get("finetune.model.drop_ratio") == params["drop_ratio"]
+        assert opt.get("finetune.model.act") == params["act"]
+        assert opt.get("finetune.batch_size") == params["batch_size"]
+        assert opt.get("finetune.lr") == params["lr"]
+
+    def test_hyperopt_backend_with_fake(self, tmp_path, monkeypatch):
+        import math
+        import random
+        import sys
+        import types
+
+        from fragnet_tpu.hp import search as S
+
+        mod = types.ModuleType("hyperopt")
+        mod.hp = types.SimpleNamespace(
+            choice=lambda name, opts: ("choice", name, list(opts)),
+            loguniform=lambda name, lo, hi: ("log", name, lo, hi))
+        mod.tpe = types.SimpleNamespace(suggest="tpe")
+
+        class Trials:
+            def __init__(self):
+                self.results = []
+
+        def fmin(objective, space, algo=None, max_evals=0, trials=None):
+            rng = random.Random(0)
+            for _ in range(max_evals):
+                params = {}
+                for k, spec in space.items():
+                    if spec[0] == "choice":
+                        params[k] = rng.choice(spec[2])
+                    else:
+                        params[k] = math.exp(rng.uniform(
+                            spec[2], spec[3]))
+                trials.results.append(
+                    {"loss": objective(params), "params": params})
+            return {}
+
+        mod.fmin, mod.Trials = fmin, Trials
+        monkeypatch.setitem(sys.modules, "hyperopt", mod)
+
+        seen = []
+
+        def train_fn(opt):
+            seen.append(opt)
+            if len(seen) == 2:
+                raise RuntimeError("boom")  # must become the sentinel
+            return float(opt.get("finetune.model.h1"))
+
+        trials = S.run_hp_search(self._base(tmp_path), n_trials=3,
+                                 backend="hyperopt", train_fn=train_fn)
+        assert len(trials.results) == 3 and len(seen) == 3
+        assert trials.results[1]["loss"] == S.FAILURE_SCORE
+        for r, opt in zip(trials.results, seen):
+            self._check_params_and_injection(r["params"], opt)
+        assert trials.results[0]["loss"] == float(
+            trials.results[0]["params"]["h1"])
+
+    def test_ray_backend_with_fake(self, tmp_path, monkeypatch):
+        import math
+        import random
+        import sys
+        import types
+
+        from fragnet_tpu.hp import search as S
+
+        results = []
+        reported = []
+        tune = types.ModuleType("ray.tune")
+        tune.choice = lambda opts: ("choice", list(opts))
+        tune.loguniform = lambda lo, hi: ("log", lo, hi)
+        tune.report = lambda metrics: reported.append(metrics)
+
+        class TuneConfig:
+            def __init__(self, num_samples=1, metric=None, mode=None):
+                self.num_samples = num_samples
+
+        class Tuner:
+            def __init__(self, trainable, param_space=None, tune_config=None):
+                self.trainable = trainable
+                self.space = param_space
+                self.cfg = tune_config
+
+            def fit(self):
+                rng = random.Random(0)
+                for _ in range(self.cfg.num_samples):
+                    params = {}
+                    for k, spec in self.space.items():
+                        if spec[0] == "choice":
+                            params[k] = rng.choice(spec[1])
+                        else:
+                            params[k] = math.exp(rng.uniform(
+                                math.log(spec[1]), math.log(spec[2])))
+                    self.trainable(params)
+                    results.append(params)
+                return reported
+
+        tune.TuneConfig, tune.Tuner = TuneConfig, Tuner
+        ray = types.ModuleType("ray")
+        ray.tune = tune
+        monkeypatch.setitem(sys.modules, "ray", ray)
+        monkeypatch.setitem(sys.modules, "ray.tune", tune)
+
+        seen = []
+
+        def train_fn(opt):
+            seen.append(opt)
+            if len(seen) == 1:
+                raise ValueError("boom")
+            return float(opt.get("finetune.batch_size"))
+
+        out = S.run_hp_search(self._base(tmp_path), n_trials=2,
+                              backend="ray", train_fn=train_fn)
+        assert out is reported and len(reported) == 2 and len(seen) == 2
+        assert reported[0]["score"] == S.FAILURE_SCORE
+        for params, opt in zip(results, seen):
+            self._check_params_and_injection(params, opt)
+        assert reported[1]["score"] == float(results[1]["batch_size"])
+
+    def test_optuna_backend_with_fake(self, tmp_path, monkeypatch):
+        import random
+        import sys
+        import types
+
+        from fragnet_tpu.hp import search as S
+
+        created = {}
+
+        class FakeTrial:
+            def __init__(self, rng):
+                self.rng = rng
+                self.params = {}
+
+            def suggest_categorical(self, name, choices):
+                v = self.rng.choice(list(choices))
+                self.params[name] = v
+                return v
+
+            def suggest_int(self, name, lo, hi, step=1):
+                n = (hi - lo) // step
+                v = lo + step * self.rng.randint(0, n)
+                self.params[name] = v
+                return v
+
+            def suggest_float(self, name, lo, hi, log=False):
+                import math
+
+                v = math.exp(self.rng.uniform(math.log(lo), math.log(hi))) \
+                    if log else self.rng.uniform(lo, hi)
+                self.params[name] = v
+                return v
+
+            def report(self, value, step):
+                pass
+
+            def should_prune(self):
+                return False
+
+        class FakeStudy:
+            def __init__(self):
+                self.trials = []
+
+            def optimize(self, objective, n_trials=1):
+                rng = random.Random(0)
+                for _ in range(n_trials):
+                    t = FakeTrial(rng)
+                    v = objective(t)
+                    self.trials.append((t.params, v))
+
+        mod = types.ModuleType("optuna")
+
+        def create_study(**kw):
+            created.update(kw)
+            return FakeStudy()
+
+        mod.create_study = create_study
+        mod.TrialPruned = type("TrialPruned", (Exception,), {})
+        mod.exceptions = types.SimpleNamespace(TrialPruned=mod.TrialPruned)
+        monkeypatch.setitem(sys.modules, "optuna", mod)
+
+        seen = []
+
+        def train_fn(opt):
+            seen.append(opt)
+            if len(seen) == 2:
+                raise RuntimeError("boom")
+            return float(opt.get("finetune.model.h2"))
+
+        study = S.run_hp_search(self._base(tmp_path), n_trials=3,
+                                backend="optuna", train_fn=train_fn)
+        assert len(study.trials) == 3 and len(seen) == 3
+        assert study.trials[1][1] == S.FAILURE_SCORE
+        assert created.get("direction") == "minimize"
+        assert created.get("load_if_exists") is True
+        for (params, _v), opt in zip(study.trials, seen):
+            self._check_params_and_injection(params, opt)
