@@ -206,18 +206,40 @@ def render_report(result, out_path: str) -> str:
         f"<img src='data:image/png;base64,{base64.b64encode(png).decode()}'/></div>"
         for name, png in imgs.items()
     )
-    tables = ""
-    if result.frag_contrib is not None:
+    # one attention+contribution table per level — the four tabs' tabular
+    # content in the reference app (vizualize/app.py:187-297)
+    def _table(title, head, weights, contribs, labels=None):
+        if contribs is None:
+            return ""
+        labels = labels or [str(i) for i in range(len(weights))]
         body = "".join(
-            f"<tr><td>{i}</td><td>{w:.4f}</td><td>{c:+.4f}</td></tr>"
-            for i, (w, c) in enumerate(
-                zip(result.frag_weights, result.frag_contrib)
-            )
+            f"<tr><td>{lab}</td><td>{w:.4f}</td><td>{c:+.4f}</td></tr>"
+            for lab, w, c in zip(labels, weights, contribs)
         )
-        tables = (
-            "<h3>fragment table</h3><table><tr><th>frag</th>"
-            "<th>attention</th><th>contribution</th></tr>" + body + "</table>"
-        )
+        return (f"<h3>{title}</h3><table><tr><th>{head}</th>"
+                "<th>attention</th><th>contribution</th></tr>"
+                + body + "</table>")
+
+    def _sym(a):  # rdkit Atom or minichem Atom (chem/mol.py)
+        return a.GetSymbol() if hasattr(a, "GetSymbol") else a.symbol
+
+    atom_labels = [f"{i} ({_sym(mol.GetAtomWithIdx(i))})"
+                   for i in range(len(result.atom_weights))] \
+        if hasattr(mol, "GetAtomWithIdx") else None
+    conn_labels = None
+    if result.fconn_bonds:
+        conn_labels = [f"{k} (atoms {i}-{j})"
+                       for k, (i, j) in enumerate(result.fconn_bonds)]
+    tables = (
+        _table("atom table", "atom", result.atom_weights,
+               result.atom_contrib, atom_labels)
+        + _table("bond table", "bond", result.bond_weights,
+                 result.bond_contrib)
+        + _table("fragment table", "frag", result.frag_weights,
+                 result.frag_contrib)
+        + _table("fragment-connection table", "connection",
+                 result.fconn_weights, result.fconn_contrib, conn_labels)
+    )
 
     html = f"""<!doctype html><html><head><meta charset='utf-8'>
 <title>FragNet interpretation — {result.smiles}</title>
