@@ -69,6 +69,43 @@ def build_shared(task: str, n: int, seed: int = 11):
             [graphs[i] for i in te])
 
 
+def build_shared_multitask(n: int, seed: int = 11, n_tasks: int = 4,
+                           missing_frac: float = 0.15):
+    """Tox21-style multitask classification set: 4 binary tasks with −1
+    missing labels (the loader_molebert convention — {0,1}, −1 = missing).
+    Task 0 is the generator's label; tasks 1-3 threshold structural
+    properties (median atom / fragment / bond-graph-edge counts) so every
+    task carries a learnable, partially-correlated signal."""
+    train_g, val_g, test_g = build_shared("clsf", n, seed)
+    allg = train_g + val_g + test_g
+    med_a = np.median([g.n_atoms for g in allg])
+    med_f = np.median([g.n_frags for g in allg])
+    med_b = np.median([g.n_bg_edges for g in allg])
+    rng = np.random.default_rng(seed + 1)
+    for g in allg:
+        y = np.array([
+            float(np.asarray(g.y).reshape(-1)[0]),
+            float(g.n_atoms > med_a),
+            float(g.n_frags > med_f),
+            float(g.n_bg_edges > med_b),
+        ], np.float32)
+        miss = rng.random(n_tasks) < missing_frac
+        miss[0] = False  # keep the primary task fully labeled
+        g.y = np.where(miss, -1.0, y).astype(np.float32)
+    return train_g, val_g, test_g
+
+
+def build_pretrain_graphs(n: int, seed: int = 23):
+    """Shared 3D-geometry pretraining set (bond lengths / angles /
+    dihedrals / MMFF-style energy targets — reference pretrain_gat2.py)."""
+    from fragnet_tpu.data.datasets import PretrainData
+    from fragnet_tpu.data.synthetic import synthetic_dataset
+
+    df = synthetic_dataset(n=n, task="regression", seed=seed)
+    maker = PretrainData(data_type="exp1s", num_conf=1)
+    return maker.get_pt_dataset(list(df["smiles"]), seed=seed)
+
+
 # ---------------------------------------------------------------------------
 # reference side (CPU torch, unmodified fragnet code)
 # ---------------------------------------------------------------------------
@@ -112,8 +149,52 @@ def _install_rdkit_stub():
     sys.modules["rdkit.Chem"] = chem
 
 
+def pretrain_reference(pt_graphs, seed, n_epochs, lr=1e-4, batch=32,
+                       quiet=True):
+    """Reference 3D pretraining (pretrain_gat2.py + pretrain_utils.Trainer)
+    with its EXACT loss semantics — incl. the loss_lngth overwrite quirk
+    (pretrain_utils.py:22-26: total = angle + 2·dihedral + energy) and the
+    (E,1)-vs-(E,) dihedral broadcast. Returns the encoder state_dict."""
+    import torch
+
+    from fragnet_tpu.parity import load_reference_module, reference_batch
+
+    _install_rdkit_stub()
+    heads = load_reference_module("fragnet.model.gat.gat2_pretrain")
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    model = heads.FragNetPreTrain(
+        num_layer=MODEL_KW["num_layer"], drop_ratio=0.15,
+        num_heads=MODEL_KW["num_heads"], emb_dim=MODEL_KW["emb_dim"],
+        atom_features=pt_graphs[0].x_atoms.shape[1], frag_features=167,
+        edge_features=17)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    mse = torch.nn.MSELoss()
+    rng = np.random.default_rng(seed)
+    model.train()
+    for epoch in range(n_epochs):
+        order = rng.permutation(len(pt_graphs))
+        for i in range(0, len(order), batch):
+            b = reference_batch([pt_graphs[j] for j in order[i:i + batch]],
+                                n_tasks=1, with_targets=True)
+            opt.zero_grad()
+            bl, ba, da, gr = model(b)
+            # pretrain_utils.py:22-26 verbatim semantics
+            loss_lngth = mse(da, b["dh_angl"])
+            loss_angle = mse(ba, b["bnd_angl"])
+            loss = loss_lngth + loss_angle + loss_lngth \
+                + mse(gr.view(-1), b["y"].view(-1))
+            loss.backward()
+            opt.step()
+        if not quiet and epoch % 5 == 0:
+            print(f"  [ref pt seed {seed}] epoch {epoch} loss "
+                  f"{float(loss):.4f}", flush=True)
+    return {k: v.detach().clone()
+            for k, v in model.pretrain.state_dict().items()}
+
+
 def train_reference(train_g, val_g, test_g, seed, task, n_epochs, patience,
-                    quiet=True):
+                    quiet=True, n_tasks=1, pt_state=None):
     import torch
 
     from fragnet_tpu.parity import load_reference_module
@@ -125,11 +206,14 @@ def train_reference(train_g, val_g, test_g, seed, task, n_epochs, patience,
 
     torch.manual_seed(seed)
     np.random.seed(seed)
-    n_tasks = 1
     kw = dict(MODEL_KW)
+    kw["n_classes"] = n_tasks
     model = gat2.FragNetFineTune(
         atom_features=train_g[0].x_atoms.shape[1], frag_features=167,
         edge_features=17, **kw)
+    if pt_state is not None:
+        # pretrained-encoder transfer (finetune_gat2.py:229)
+        model.pretrain.load_state_dict(pt_state)
     trainer = utils.TrainerFineTune(
         target_type="regr" if task == "regr" else "clsf")
     opt = torch.optim.Adam(model.parameters(), lr=LR)
@@ -179,8 +263,50 @@ def train_reference(train_g, val_g, test_g, seed, task, n_epochs, patience,
 # fragnet_tpu side
 # ---------------------------------------------------------------------------
 
+def pretrain_ours(pt_graphs, seed, n_epochs, exp_dir, lr=1e-4, batch=32,
+                  quiet=True):
+    """fragnet_tpu 3D pretraining with compat_loss_overwrite=True so both
+    sides optimize the IDENTICAL objective (incl. the reference's loss
+    quirk). Returns a checkpoint path for run_finetune's transfer config."""
+    import jax
+
+    from fragnet_tpu.data.batcher import BatchLoader
+    from fragnet_tpu.graphs.hiergraph import spec_for
+    from fragnet_tpu.model.pretrain import FragNetPreTrain
+    from fragnet_tpu.train.checkpoint import save_params
+    from fragnet_tpu.train.loop import TrainState
+    from fragnet_tpu.train.optim import make_optimizer
+    from fragnet_tpu.train.pretrain import PretrainTrainer
+
+    os.makedirs(exp_dir, exist_ok=True)
+    model = FragNetPreTrain(
+        num_layer=MODEL_KW["num_layer"], num_heads=MODEL_KW["num_heads"],
+        drop_ratio=0.15, emb_dim=MODEL_KW["emb_dim"],
+        atom_features=pt_graphs[0].x_atoms.shape[1])
+    spec = spec_for(pt_graphs, batch_size=batch)
+    loader = BatchLoader(pt_graphs, batch, spec=spec, shuffle=True,
+                         seed=seed, with_targets=True)
+    params = model.init(jax.random.PRNGKey(seed),
+                        next(iter(loader)), deterministic=True)
+    tx = make_optimizer("adam", lr=lr)
+    state = TrainState.create(params, tx)
+    trainer = PretrainTrainer(model, tx, compat_loss_overwrite=True)
+    rng = jax.random.PRNGKey(seed + 1)
+    for epoch in range(n_epochs):
+        import jax.random as jr
+
+        rng, sub = jr.split(rng)
+        state, loss = trainer.train_epoch(state, loader, sub)
+        if not quiet and epoch % 5 == 0:
+            print(f"  [ours pt seed {seed}] epoch {epoch} loss {loss:.4f}",
+                  flush=True)
+    ckpt = os.path.join(exp_dir, "pt.ckpt")
+    save_params(state.params, ckpt)
+    return ckpt
+
+
 def train_ours(train_g, val_g, test_g, seed, task, n_epochs, patience,
-               exp_dir):
+               exp_dir, n_tasks=1, pt_chk=None):
     from fragnet_tpu.config import Config
     from fragnet_tpu.train.finetune import run_finetune
 
@@ -194,7 +320,7 @@ def train_ours(train_g, val_g, test_g, seed, task, n_epochs, patience,
         "edge_features": 17,
         "finetune": {
             "target_type": "regr" if task == "regr" else "clsf",
-            "n_classes": 1,
+            "n_classes": n_tasks,
             "batch_size": BATCH,
             "lr": LR,
             "n_epochs": n_epochs,
@@ -209,9 +335,12 @@ def train_ours(train_g, val_g, test_g, seed, task, n_epochs, patience,
             },
         },
     })
+    if pt_chk:
+        opt.set_path("pretrain.use", True)
+        opt.set_path("pretrain.chk", pt_chk)
     value, _ = run_finetune(
         opt, quiet=True,
-        datasets=(train_g, val_g, test_g, 1,
+        datasets=(train_g, val_g, test_g, n_tasks,
                   "regr" if task == "regr" else "clsf"))
     return float(value)
 
@@ -222,38 +351,110 @@ def main():
     ap.add_argument("--epochs", type=int, default=N_EPOCHS)
     ap.add_argument("--patience", type=int, default=PATIENCE)
     ap.add_argument("--seeds", default="0,1,2")
-    ap.add_argument("--task", default="both", choices=["regr", "clsf", "both"])
+    ap.add_argument("--task", default="both",
+                    choices=["regr", "clsf", "multitask", "transfer",
+                             "both", "all"])
+    ap.add_argument("--n-pt", type=int, default=160,
+                    help="pretraining molecules (transfer task)")
+    ap.add_argument("--pt-epochs", type=int, default=25)
     ap.add_argument("--out", default="ABRESULTS.json")
     args = ap.parse_args()
     seeds = [int(s) for s in args.seeds.split(",")]
-    tasks = ["regr", "clsf"] if args.task == "both" else [args.task]
+    tasks = {"both": ["regr", "clsf"],
+             "all": ["regr", "clsf", "multitask", "transfer"]}.get(
+        args.task, [args.task])
 
     results = {"config": {"n": args.n, "epochs": args.epochs,
                           "patience": args.patience, "batch": BATCH,
                           "lr": LR, "model": MODEL_KW,
+                          "n_pt": args.n_pt, "pt_epochs": args.pt_epochs,
                           "recipe": "exps/ft/esol/e1pt4.yaml (from scratch)"},
                "tasks": {}}
+    if os.path.exists(args.out):  # extend an existing results file
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            results["tasks"].update(prev.get("tasks", {}))
+        except Exception:
+            pass
+
     for task in tasks:
         print(f"=== task {task} ===", flush=True)
         t0 = time.time()
-        train_g, val_g, test_g = build_shared(task, args.n)
+        if task == "multitask":
+            train_g, val_g, test_g = build_shared_multitask(args.n)
+            inner_task, n_tasks = "clsf", 4
+        else:
+            inner_task, n_tasks = (task, 1) if task != "transfer" \
+                else ("regr", 1)
+            train_g, val_g, test_g = build_shared(inner_task, args.n)
         print(f"graphs: {len(train_g)}/{len(val_g)}/{len(test_g)} "
               f"(featurized in {time.time()-t0:.0f}s)", flush=True)
+
+        if task == "transfer":
+            # pretrain -> transfer -> finetune, A/B'd against from-scratch
+            # on both sides (reference finetune_gat2.py:213-230 +
+            # pretrain_gat2.py; identical objective incl. the loss quirk)
+            pt_graphs = build_pretrain_graphs(args.n_pt)
+            print(f"pretrain graphs: {len(pt_graphs)}", flush=True)
+            rows = {"reference_scratch": [], "reference_transfer": [],
+                    "fragnet_tpu_scratch": [], "fragnet_tpu_transfer": []}
+            for seed in seeds:
+                t0 = time.time()
+                pt_state = pretrain_reference(pt_graphs, seed,
+                                              args.pt_epochs, quiet=False)
+                r_scr = train_reference(train_g, val_g, test_g, seed,
+                                        "regr", args.epochs, args.patience)
+                r_tr = train_reference(train_g, val_g, test_g, seed, "regr",
+                                       args.epochs, args.patience,
+                                       pt_state=pt_state)
+                print(f"reference seed {seed}: scratch {r_scr:.5f} "
+                      f"transfer {r_tr:.5f} [{time.time()-t0:.0f}s]",
+                      flush=True)
+                t0 = time.time()
+                chk = pretrain_ours(pt_graphs, seed, args.pt_epochs,
+                                    exp_dir=f"/tmp/ab_pt_{seed}",
+                                    quiet=False)
+                o_scr = train_ours(train_g, val_g, test_g, seed, "regr",
+                                   args.epochs, args.patience,
+                                   exp_dir=f"/tmp/ab_tr_scr_{seed}")
+                o_tr = train_ours(train_g, val_g, test_g, seed, "regr",
+                                  args.epochs, args.patience,
+                                  exp_dir=f"/tmp/ab_tr_{seed}", pt_chk=chk)
+                print(f"fragnet_tpu seed {seed}: scratch {o_scr:.5f} "
+                      f"transfer {o_tr:.5f} [{time.time()-t0:.0f}s]",
+                      flush=True)
+                rows["reference_scratch"].append(r_scr)
+                rows["reference_transfer"].append(r_tr)
+                rows["fragnet_tpu_scratch"].append(o_scr)
+                rows["fragnet_tpu_transfer"].append(o_tr)
+            results["tasks"]["transfer"] = {
+                "metric": "test_rmse (scratch vs pretrain->transfer)",
+                **rows,
+                **{k + "_mean": float(np.mean(v)) for k, v in rows.items()},
+            }
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
+            continue
+
         ref_scores, our_scores = [], []
         for seed in seeds:
             t0 = time.time()
-            r = train_reference(train_g, val_g, test_g, seed, task,
-                                args.epochs, args.patience, quiet=False)
+            r = train_reference(train_g, val_g, test_g, seed, inner_task,
+                                args.epochs, args.patience, quiet=False,
+                                n_tasks=n_tasks)
             print(f"reference seed {seed}: {r:.5f} [{time.time()-t0:.0f}s]",
                   flush=True)
             ref_scores.append(r)
             t0 = time.time()
-            o = train_ours(train_g, val_g, test_g, seed, task, args.epochs,
-                           args.patience, exp_dir=f"/tmp/ab_{task}_{seed}")
+            o = train_ours(train_g, val_g, test_g, seed, inner_task,
+                           args.epochs, args.patience,
+                           exp_dir=f"/tmp/ab_{task}_{seed}", n_tasks=n_tasks)
             print(f"fragnet_tpu seed {seed}: {o:.5f} [{time.time()-t0:.0f}s]",
                   flush=True)
             our_scores.append(o)
-        metric = "test_rmse" if task == "regr" else "test_roc_auc"
+        metric = {"regr": "test_rmse", "clsf": "test_roc_auc",
+                  "multitask": "test_mean_per_task_roc_auc"}[task]
         results["tasks"][task] = {
             "metric": metric,
             "reference": ref_scores,
