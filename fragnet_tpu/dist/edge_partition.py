@@ -274,6 +274,33 @@ def ep_batch_specs(batch, axis: str = "ep"):
     return HierGraphBatch(**specs)
 
 
+# XLA:TPU compiler options for the EP step: convert the combine's
+# all-gathers (and the gradient psums / reduce-scatter transposes) to async
+# start/done pairs so the latency-hiding scheduler can fly them under
+# independent compute — within a layer the fconn-level pass has no data
+# dependence on the bond/atom-level gathers (VERDICT r5 #4). Measured on the
+# AOT v5e:2x4 schedule (scripts/ep_overlap_hlo.py → EPOVERLAP.json): these
+# flags move ~87% of collective bytes into async pairs bracketing real
+# scheduled ops, vs 27% with defaults. No-ops on non-TPU backends (not
+# passed there — XLA:CPU rejects unknown TPU flags).
+EP_COMPILER_OPTIONS = {
+    "xla_tpu_enable_async_collective_fusion": "true",
+    "xla_tpu_enable_async_collective_fusion_fuse_all_gather": "true",
+    "xla_tpu_enable_async_collective_fusion_fuse_all_reduce": "true",
+    "xla_tpu_enable_async_collective_fusion_fuse_reduce_scatter": "true",
+    "xla_tpu_enable_async_collective_fusion_with_mosaic_custom_call": "true",
+    "xla_tpu_enable_async_collective_fusion_multiple_steps": "true",
+    "xla_tpu_enable_async_collective_fusion_fuse_kloop_fusions": "true",
+}
+
+
+def ep_jit_kwargs() -> dict:
+    """``compiler_options`` for jitting EP steps on TPU backends."""
+    if jax.default_backend() == "tpu":
+        return {"compiler_options": dict(EP_COMPILER_OPTIONS)}
+    return {}
+
+
 def make_ep_train_step(model, tx, mesh: Mesh, example_batch,
                        loss_name: str = "mse", axis: str = "ep"):
     """Compiled edge-partitioned train step. ``model`` must be constructed
@@ -301,7 +328,7 @@ def make_ep_train_step(model, tx, mesh: Mesh, example_batch,
                              in_specs=(P(), specs, P()), out_specs=P(),
                              check_vma=False)
 
-    @partial(jax.jit, donate_argnums=0)
+    @partial(jax.jit, donate_argnums=0, **ep_jit_kwargs())
     def step(state, batch, base_rng):
         rng = jax.random.fold_in(base_rng, state.step)
         l, grads = jax.value_and_grad(sharded_loss)(state.params, batch, rng)
@@ -325,7 +352,8 @@ def make_ep_eval_step(model, mesh: Mesh, example_batch,
         return loss_fn(out, batch.y, batch.graph_mask), out
 
     return jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), specs),
-                             out_specs=(P(), P()), check_vma=False))
+                             out_specs=(P(), P()), check_vma=False),
+                   **ep_jit_kwargs())
 
 
 def edge_partitioned_segment_sum(

