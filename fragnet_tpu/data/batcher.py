@@ -84,12 +84,14 @@ class BatchLoader:
                      "n_bg_edges", "n_fc_edges")
         caps = tuple(getattr(self.spec, k) for k in _FIT_KEYS)
         aligned = self.spec.align
-        tn = self.spec.tn
+        # per-axis node tiles (PadSpec.tn_of): first four _FIT_KEYS are the
+        # aligned node levels atom / bond / frag / fc
+        lvl_tn = [self.spec.tn_of(l) for l in ("atom", "bond", "frag", "fc")]
 
-        def bump(pos: int, cnt: int, node_level: bool) -> int:
+        def bump(pos: int, cnt: int, tn: int) -> int:
             # aligned packing: a molecule that would straddle a tn boundary
             # starts at the next tile (mirrors hiergraph._aligned_starts)
-            if aligned and node_level and cnt <= tn \
+            if aligned and tn and cnt <= tn \
                     and (pos % tn) + cnt > tn:
                 pos = ((pos + tn - 1) // tn) * tn
             return pos + cnt
@@ -106,7 +108,7 @@ class BatchLoader:
                 # O(B²) re-sum of the window per candidate dominated batch
                 # prep before
                 if window:
-                    newpos = [bump(t, s, j < 4)
+                    newpos = [bump(t, s, lvl_tn[j] if j < 4 else 0)
                               for j, (t, s) in enumerate(zip(totals, sizes))]
                     if any(p > c for p, c in zip(newpos, caps)):
                         break
@@ -123,7 +125,7 @@ class BatchLoader:
                     i += 1
                     continue
                 window.append(cand)
-                totals = [bump(t, s, j < 4)
+                totals = [bump(t, s, lvl_tn[j] if j < 4 else 0)
                           for j, (t, s) in enumerate(zip(totals, sizes))]
                 i += 1
             if not window:
@@ -156,7 +158,8 @@ class BatchLoader:
                     if self.spec.align and self.spec.tcsr:
                         dp_levels = tuple(
                             l for l in _DP_LEVELS
-                            if dp_level_ok(self.graphs, l, self.spec.tn))
+                            if dp_level_ok(self.graphs, l,
+                                           self.spec.tn_of(l[3:])))
                     self.layout = build_layout(
                         batch, self.compute_dtype or jnp.float32,
                         compact=self.pack_compact,

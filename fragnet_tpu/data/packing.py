@@ -312,9 +312,12 @@ def build_layout(template: HierGraphBatch, compute_dtype=jnp.float32,
 
     dp_specs = []
     if dp_levels and tm_static:
-        tn = tm_static[0][1][0]
+        # per-axis node tiles (PadSpec.tn_of): each dense-plane level uses
+        # its OWN tm level's tile size (dp_bond ↔ tm_bond, ...)
+        tn_of = {lvl: st[0] for lvl, st in tm_static}
         for lvl in dp_levels:
             src_f, dst_f, mask_f, ea_f, nkey = _DP_LEVELS[lvl]
+            tn = tn_of.get("tm_" + lvl[3:], tm_static[0][1][0])
             if caps[nkey] % tn == 0:
                 dp_specs.append((lvl, src_f, dst_f, mask_f, ea_f,
                                  caps[nkey], tn))

@@ -142,6 +142,20 @@ class PadSpec:
     tc_bond: Optional[tuple] = None
     tc_frag: Optional[tuple] = None
     tc_fc: Optional[tuple] = None
+    # per-axis node-tile overrides (0 = use ``tn``). A dataset whose
+    # molecules exceed tn nodes on ONE axis (e.g. esol's ≤244 bond-graph
+    # nodes) would otherwise lose tile-locality there — disabling the dense
+    # zero-gather kernel and widening the TCSR windows for the WHOLE batch
+    # (measured: the bond level alone was ~55% of the esol-profile step).
+    # spec_for auto-picks the smallest {128, 256} tile that fits the axis's
+    # largest molecule.
+    tn_atom: int = 0
+    tn_bond: int = 0
+    tn_frag: int = 0
+    tn_fc: int = 0
+
+    def tn_of(self, level: str) -> int:
+        return getattr(self, f"tn_{level}") or self.tn
     # tile-aligned packing: pad each node axis (atoms / bond-nodes / frags /
     # fconn-nodes) so no molecule straddles a tn-node tile. This shrinks the
     # TCSR source windows to k_src=1 AND enables the dense zero-gather
@@ -202,10 +216,17 @@ def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
              multiple: int = 8, ell: bool = False,
              tcsr: bool = False, tn: int = 128, te: int = 256,
              align: Optional[bool] = None) -> PadSpec:
-    """Compute a PadSpec covering any window of ``batch_size`` graphs from the
-    dataset: batch_size × the max per-molecule counts is always safe but
-    wasteful; we use max over a sliding sum bound = batch_size * p95 + max,
-    clamped below by the true max molecule."""
+    """Compute a PadSpec covering a window of ``batch_size`` graphs from the
+    dataset. The bound is the WINDOW-SUM estimate batch_size·mean +
+    4·std·√batch_size + 2·max (a shuffled window's total concentrates near
+    batch_size·mean; the tail term covers unlucky draws, the max terms cover
+    one oversized molecule). The previous batch_size·p95 bound measured
+    2.0-2.3× the real window content on every axis (r5 step-anatomy:
+    esol bond-line capacity 310k vs ~140k real), and every dense/TCSR kernel's
+    cost scales with SLOTS, not real edges — so cap tightness is directly
+    edges/s. Overfull windows are handled by the batcher (``fits`` closes a
+    batch early and the molecules spill to the next one), so the bound only
+    needs to be right on average, not worst-case."""
     if not graphs:
         raise ValueError("empty dataset")
     stats = {
@@ -214,8 +235,12 @@ def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
     }
 
     def cap(arr: np.ndarray) -> int:
-        est = int(batch_size * np.percentile(arr, 95) * slack + arr.max())
-        return max(est, int(arr.max() * min(batch_size, len(arr))) if batch_size <= 2 else est)
+        if batch_size <= 4:
+            # tiny batches must fit ANY batch_size molecules (dp/tests)
+            return int(arr.max() * min(batch_size, len(arr)))
+        est = int(batch_size * arr.mean() * max(slack - 0.1, 1.0)
+                  + 4.0 * arr.std() * np.sqrt(batch_size) + 2 * arr.max())
+        return est
 
     ks = {}
     if ell:
@@ -241,6 +266,18 @@ def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
     if align is None:
         align = tcsr  # aligned packing is the TCSR/dense fast path default
 
+    # per-axis node tiles: bump an axis to 256 when its largest molecule
+    # exceeds tn (keeps every molecule tile-local → dense kernels + k_src=1
+    # stay available); beyond 256 keep tn and let TCSR absorb the stragglers
+    axis_of = {"n_atoms": "atom", "n_edges": "bond", "n_frags": "frag",
+               "n_fconn": "fc"}
+    tns = {}
+    for name, lvl in axis_of.items():
+        mx = int(stats[name].max())
+        tns[f"tn_{lvl}"] = 0 if mx <= tn else (256 if mx <= 256 else 0)
+    tn_by_name = {name: (tns[f"tn_{lvl}"] or tn)
+                  for name, lvl in axis_of.items()}
+
     caps = {k: cap(v) for k, v in stats.items()}
     if align:
         # alignment inflates the node axes; measure the waste on probe
@@ -251,7 +288,8 @@ def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
         for lo in list(probes)[:9]:
             win = graphs[lo:lo + batch_size]
             for name, counts in zip(names, _level_counts(win)):
-                tot = int(_aligned_starts(counts, tn)[-1] * slack)
+                tot = int(_aligned_starts(counts, tn_by_name[name])[-1]
+                          * slack)
                 caps[name] = max(caps[name], tot)
 
     spec = PadSpec(
@@ -263,8 +301,10 @@ def spec_for(graphs: Sequence, batch_size: int, slack: float = 1.1,
         n_bg_edges=caps["n_bg_edges"],
         n_fc_edges=caps["n_fc_edges"],
         tn=tn, te=te, align=align,
+        **(tns if (tcsr or align) else {}),
         **ks,
-    ).round_to(max(multiple, tn, te) if (tcsr or align) else multiple)
+    ).round_to(max(multiple, tn, te, *tn_by_name.values())
+               if (tcsr or align) else multiple)
     if not tcsr:
         return spec
     return _pin_tcsr(spec, graphs, batch_size)
@@ -296,7 +336,8 @@ def _pin_tcsr(spec: PadSpec, graphs: Sequence, batch_size: int,
             "frag": (b.frag_src, b.frag_dst, b.fconn_mask, spec.n_frags),
             "fc": (b.fc_src, b.fc_dst, b.fc_mask, spec.n_fconn),
         }.items():
-            tm = build_tile_meta(s, d, m, n, tn=spec.tn, te=spec.te)
+            tm = build_tile_meta(s, d, m, n, tn=spec.tn_of(name),
+                                 te=spec.te)
             if tm is None:
                 return spec  # locality violated — leave the Pallas path off
             maxes[name][0] = max(maxes[name][0], tm.n_chunks)
@@ -309,17 +350,17 @@ def _pin_tcsr(spec: PadSpec, graphs: Sequence, batch_size: int,
     # makes build_tile_meta return None mid-stream, which breaks the packed
     # transport's single-compilation contract)
     over = {
-        "atom": any(g.n_atoms > spec.tn for g in graphs),
-        "bond": any(g.n_edges > spec.tn for g in graphs),
-        "frag": any(g.n_frags > spec.tn for g in graphs),
-        "fc": any(g.n_fconn > spec.tn for g in graphs),
+        "atom": any(g.n_atoms > spec.tn_of("atom") for g in graphs),
+        "bond": any(g.n_edges > spec.tn_of("bond") for g in graphs),
+        "frag": any(g.n_frags > spec.tn_of("frag") for g in graphs),
+        "fc": any(g.n_fconn > spec.tn_of("fc") for g in graphs),
     }
 
     def pin(name, n_nodes, n_edges):
         slack_c = 3 if (spec.align and over[name]) else 1
         slack_k = 1 if (spec.align and over[name]) else 0
         c = min(maxes[name][0] + slack_c, n_edges // spec.te)
-        k = min(maxes[name][1] + slack_k, n_nodes // spec.tn)
+        k = min(maxes[name][1] + slack_k, n_nodes // spec.tn_of(name))
         return (c, k)
 
     return dataclasses.replace(
@@ -343,8 +384,9 @@ def fits(graphs: Sequence, spec: PadSpec) -> bool:
                 sum(g.n_frags for g in graphs),
                 sum(g.n_fconn for g in graphs))
         return all(t <= c for t, c in zip(tots, caps))
-    return all(int(_aligned_starts(counts, spec.tn)[-1]) <= c
-               for counts, c in zip(_level_counts(graphs), caps))
+    lvl_tns = [spec.tn_of(l) for l in ("atom", "bond", "frag", "fc")]
+    return all(int(_aligned_starts(counts, t)[-1]) <= c
+               for counts, t, c in zip(_level_counts(graphs), lvl_tns, caps))
 
 
 def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
@@ -422,10 +464,10 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
         # tile-aligned packing: no molecule straddles a tn-node tile on any
         # node axis (atoms / bond-nodes / frags / fconn-nodes); the gaps are
         # ordinary masked pad slots mid-array
-        a_off = _aligned_starts(na, spec.tn)
-        e_off = _aligned_starts(ne, spec.tn)
-        f_off = _aligned_starts(nf, spec.tn)
-        c_off = _aligned_starts(nc, spec.tn)
+        a_off = _aligned_starts(na, spec.tn_of("atom"))
+        e_off = _aligned_starts(ne, spec.tn_of("bond"))
+        f_off = _aligned_starts(nf, spec.tn_of("frag"))
+        c_off = _aligned_starts(nc, spec.tn_of("fc"))
     else:
         a_off = np.concatenate([[0], np.cumsum(na)])
         e_off = np.concatenate([[0], np.cumsum(ne)])
@@ -521,16 +563,16 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
         from fragnet_tpu.ops.tcsr import build_tile_meta
 
         tcsr_kw["tm_atom"] = build_tile_meta(
-            edge_src, edge_dst, edge_mask, A, tn=spec.tn, te=spec.te,
-            n_chunks=spec.tc_atom[0], k_src=spec.tc_atom[1])
+            edge_src, edge_dst, edge_mask, A, tn=spec.tn_of("atom"),
+            te=spec.te, n_chunks=spec.tc_atom[0], k_src=spec.tc_atom[1])
         tcsr_kw["tm_bond"] = build_tile_meta(
-            bg_src, bg_dst, bg_mask, E, tn=spec.tn, te=spec.te,
+            bg_src, bg_dst, bg_mask, E, tn=spec.tn_of("bond"), te=spec.te,
             n_chunks=spec.tc_bond[0], k_src=spec.tc_bond[1])
         tcsr_kw["tm_frag"] = build_tile_meta(
-            frag_src, frag_dst, fconn_mask, F, tn=spec.tn, te=spec.te,
-            n_chunks=spec.tc_frag[0], k_src=spec.tc_frag[1])
+            frag_src, frag_dst, fconn_mask, F, tn=spec.tn_of("frag"),
+            te=spec.te, n_chunks=spec.tc_frag[0], k_src=spec.tc_frag[1])
         tcsr_kw["tm_fc"] = build_tile_meta(
-            fc_src, fc_dst, fc_mask, C, tn=spec.tn, te=spec.te,
+            fc_src, fc_dst, fc_mask, C, tn=spec.tn_of("fc"), te=spec.te,
             n_chunks=spec.tc_fc[0], k_src=spec.tc_fc[1])
         if any(v is None for v in tcsr_kw.values()):
             if strict_tcsr:
@@ -558,16 +600,16 @@ def pad_batch(graphs: Sequence, spec: PadSpec, n_tasks: int = 1,
         # a molecule exceeds tn nodes at that level (the layer then falls
         # back to the TCSR kernel for it)
         dense_kw["dp_bond"] = build_dense_planes(
-            bg_src, bg_dst, bg_mask, ea_bonds, E, tn=spec.tn)
+            bg_src, bg_dst, bg_mask, ea_bonds, E, tn=spec.tn_of("bond"))
         dense_kw["dp_fc"] = build_dense_planes(
-            fc_src, fc_dst, fc_mask, ea_fbonds, C, tn=spec.tn)
+            fc_src, fc_dst, fc_mask, ea_fbonds, C, tn=spec.tn_of("fc"))
         # adjacency-only planes for the dynamic-attr dense passes
         dense_kw["dp_atom"] = build_dense_planes(
             edge_src, edge_dst, edge_mask, np.zeros((E, 0), np.float32),
-            A, tn=spec.tn)
+            A, tn=spec.tn_of("atom"))
         dense_kw["dp_frag"] = build_dense_planes(
             frag_src, frag_dst, fconn_mask, np.zeros((C, 0), np.float32),
-            F, tn=spec.tn)
+            F, tn=spec.tn_of("frag"))
 
     ell_kw = {}
     if spec.k_atom is not None:
